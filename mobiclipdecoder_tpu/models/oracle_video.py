@@ -339,13 +339,7 @@ class OracleDecoder:
         """
         self.internal[io] = dx & _M32
         self.internal[io + 1] = dy & _M32
-        S = self.stride
-        self._copy_block(self.y_planes[ref], dx, dy, w, h,
-                         self.y_planes[0], off)
-        self._copy_block(self.uv_planes[ref], dx >> 1, dy >> 1, w >> 1, h >> 1,
-                         self.uv_planes[0], off // 2)
-        self._copy_block(self.uv_planes[ref], dx >> 1, dy >> 1, w >> 1, h >> 1,
-                         self.uv_planes[0], off // 2 + S // 2)
+        self._exec_mc(w, h, ref, dx, dy, off)
 
     def _copy_block(self, src: np.ndarray, dx: int, dy: int, w: int, h: int,
                     dst: np.ndarray, off: int) -> None:
@@ -382,13 +376,14 @@ class OracleDecoder:
         self._adv(3)
         if mode == 2:
             mode = 9
-            self._plane16(self.y_planes[0], off)
+            self._exec_plane16(off, self._varint_s())
         S = self.stride
         for bit, doff in ((0, 0), (1, 8), (2, S * 8), (3, S * 8 + 8)):
             if (cbp >> bit) & 1:
                 self._intra8_with_residual(self.y_planes[0], off + doff, mode)
             else:
-                self._predict_intra(mode, self.y_planes[0], off + doff)
+                self._exec_intra(self.y_planes[0], off + doff, 8, mode,
+                                 None, None)
         self._intra_chroma(cbp, off)
 
     def _dec_intra_sub_mb(self, off: int) -> None:
@@ -411,13 +406,14 @@ class OracleDecoder:
         uv = self.uv_planes[0]
         if mode == 2:
             mode = 9
-            self._plane8(uv, off // 2)
-            self._plane8(uv, off // 2 + S // 2)
+            self._exec_intra(uv, off // 2, 8, 2, self._varint_s(), None)
+            self._exec_intra(uv, off // 2 + S // 2, 8, 2,
+                             self._varint_s(), None)
         for bit, coff in ((4, off // 2), (5, off // 2 + S // 2)):
             if (cbp >> bit) & 1:
                 self._intra8_with_residual(uv, coff, mode)
             else:
-                self._predict_intra(mode, uv, coff)
+                self._exec_intra(uv, coff, 8, mode, None, None)
 
     def _predicted_mode(self, r5: int, peek4: int) -> tuple[int, int]:
         """Shared most-probable-mode scheme (loc_116220 / sub_1163DC).
@@ -439,13 +435,20 @@ class OracleDecoder:
             return v, 4
         return pred, 1
 
+    def _gradient_for(self, mode: int) -> int | None:
+        """Plane modes (2 / 12) carry a signed gradient varint, parsed at the
+        point the reference's sub_116CCC/sub_117E98 would read it."""
+        if mode in (2, 12):
+            return self._varint_s()
+        return None
+
     def _intra8_predicted_mode(self, r5: int, plane: np.ndarray,
                                off: int) -> None:
         """loc_116220 (MobiclipDecoder.cs:1835-1862): 8x8, no residual."""
         mode, nbits = self._predicted_mode(r5, self._r3 >> 28)
         self.imode[[r5, r5 + 1, r5 + 8, r5 + 9]] = mode
         self._adv(nbits)
-        self._predict_intra(mode, plane, off)
+        self._exec_intra(plane, off, 8, mode, self._gradient_for(mode), None)
 
     def _intra_sub8(self, r5: int, plane: np.ndarray, off: int) -> None:
         """loc_116368 (MobiclipDecoder.cs:2776-2834)."""
@@ -455,8 +458,8 @@ class OracleDecoder:
             mode, nbits = self._predicted_mode(r5, self._r3 >> 28)
             self._adv(nbits)
             self.imode[[r5, r5 + 1, r5 + 8, r5 + 9]] = mode
-            self._predict_intra(mode, plane, off)
-            self._dct8(plane, off)
+            g = self._gradient_for(mode)
+            self._exec_intra(plane, off, 8, mode, g, self._parse_dct(8))
         else:
             cbp = int(self._t.cbp_split8[self._varint_u()])
             S = self.stride
@@ -466,11 +469,9 @@ class OracleDecoder:
                 self.imode[r5 + dr5] = mode
                 self._adv(nbits)
                 mode += 0xA
-                if (cbp >> bit) & 1:
-                    self._predict_intra(mode, plane, off + doff)
-                    self._dct4(plane, off + doff)
-                else:
-                    self._predict_intra(mode, plane, off + doff)
+                g = self._gradient_for(mode)
+                coefs = self._parse_dct(4) if (cbp >> bit) & 1 else None
+                self._exec_intra(plane, off + doff, 4, mode, g, coefs)
 
     def _intra8_with_residual(self, plane: np.ndarray, off: int,
                               mode: int) -> None:
@@ -478,16 +479,16 @@ class OracleDecoder:
         if self._r3 >> 31:
             self._r3 = (self._r3 << 1) & _M32
             self._nb -= 1
-            self._predict_intra(mode, plane, off)
-            self._dct8(plane, off)
+            g = self._gradient_for(mode)
+            self._exec_intra(plane, off, 8, mode, g, self._parse_dct(8))
         else:
             mode4 = mode + 0xA
             cbp = int(self._t.cbp_split8[self._varint_u()])
             S = self.stride
             for bit, doff in ((0, 0), (1, 4), (2, S * 4), (3, S * 4 + 4)):
-                self._predict_intra(mode4, plane, off + doff)
-                if (cbp >> bit) & 1:
-                    self._dct4(plane, off + doff)
+                g = self._gradient_for(mode4)
+                coefs = self._parse_dct(4) if (cbp >> bit) & 1 else None
+                self._exec_intra(plane, off + doff, 4, mode4, g, coefs)
 
     # --------------------------------------------------------- P residuals
     def _residual_mb(self, off: int) -> None:
@@ -507,36 +508,73 @@ class OracleDecoder:
         if self._r3 >> 31:
             self._r3 = (self._r3 << 1) & _M32
             self._nb -= 1
-            self._dct8(plane, off)
+            self._exec_resid(plane, off, 8, self._parse_dct(8))
         else:
             cbp = int(self._t.cbp_sub4[self._varint_u()])
             S = self.stride
             for bit, doff in ((0, 0), (1, 4), (2, S * 4), (3, S * 4 + 4)):
                 if (cbp >> bit) & 1:
-                    self._dct4(plane, off + doff)
+                    self._exec_resid(plane, off + doff, 4, self._parse_dct(4))
 
     # ------------------------------------------------------------ residuals
-    def _dct8(self, plane: np.ndarray, off: int) -> None:
-        """loc_116540 (MobiclipDecoder.cs:2931-2943)."""
-        self.internal[90:154] = 0
-        last = self._read_dct_matrix(10)
-        if last <= 11:
-            self._idct1(plane, off, 8)
-        elif last <= 13:
-            self._idct3x8(plane, off)
-        elif last <= 20:
-            self._idct_sparse8(plane, off)
-        else:
-            self._idct_full8(plane, off)
+    def _parse_dct(self, n: int) -> tuple[np.ndarray, int]:
+        """Parse one coefficient block (loc_116540/sub_1166E8 entry): returns
+        (dense dequantized coefficients as (n,n) int32, last scan cursor).
+        The cursor selects the sparse IDCT variant (MobiclipDecoder.cs:
+        2939-2942, 2954-2955)."""
+        base = 10 if n == 8 else 74
+        self.internal[90:90 + n * n] = 0
+        last = self._read_dct_matrix(base)
+        coefs = self.internal[90:90 + n * n].astype(np.int64) \
+            .astype(np.int32).reshape(n, n)
+        return coefs, last
 
-    def _dct4(self, plane: np.ndarray, off: int) -> None:
-        """loc_116628/sub_1166E8 (MobiclipDecoder.cs:2945-2968)."""
-        self.internal[90:106] = 0
-        last = self._read_dct_matrix(74)
-        if last <= 75:
-            self._idct1(plane, off, 4)
+    # ------------------------------------------- execution hooks (oracle)
+    # Subclasses (the TPU frame planner) override _exec_* to record ops
+    # instead of reconstructing; the parse path above is shared verbatim.
+    def _exec_mc(self, w: int, h: int, ref: int, dx: int, dy: int,
+                 off: int) -> None:
+        S = self.stride
+        self._copy_block(self.y_planes[ref], dx, dy, w, h,
+                         self.y_planes[0], off)
+        self._copy_block(self.uv_planes[ref], dx >> 1, dy >> 1, w >> 1, h >> 1,
+                         self.uv_planes[0], off // 2)
+        self._copy_block(self.uv_planes[ref], dx >> 1, dy >> 1, w >> 1, h >> 1,
+                         self.uv_planes[0], off // 2 + S // 2)
+
+    def _exec_intra(self, plane: np.ndarray, off: int, size: int, mode: int,
+                    gradient: int | None,
+                    coefs: tuple[np.ndarray, int] | None) -> None:
+        self._predict_intra(mode, plane, off, gradient)
+        if coefs is not None:
+            self._apply_idct(plane, off, size, coefs)
+
+    def _exec_resid(self, plane: np.ndarray, off: int, size: int,
+                    coefs: tuple[np.ndarray, int]) -> None:
+        self._apply_idct(plane, off, size, coefs)
+
+    def _exec_plane16(self, off: int, gradient: int) -> None:
+        self._plane16(self.y_planes[0], off, gradient)
+
+    def _apply_idct(self, plane: np.ndarray, off: int, n: int,
+                    coefs: tuple[np.ndarray, int]) -> None:
+        """Apply the IDCT variant selected by the last scan cursor
+        (loc_116540 / loc_116628)."""
+        dense, last = coefs
+        if n == 8:
+            if last <= 11:
+                self._idct1(plane, off, 8, dense)
+            elif last <= 13:
+                self._idct3x8(plane, off, dense)
+            elif last <= 20:
+                self._idct_sparse8(plane, off, dense)
+            else:
+                self._idct_full8(plane, off, dense)
         else:
-            self._idct_full4(plane, off)
+            if last <= 75:
+                self._idct1(plane, off, 4, dense)
+            else:
+                self._idct_full4(plane, off, dense)
 
     def _read_dct_matrix(self, r12: int) -> int:
         """ReadDCTMatrix (MobiclipDecoder.cs:3330-3432): run-level VLC with
@@ -701,9 +739,6 @@ class OracleDecoder:
         out[:, 2] = e1 - o1
         return out
 
-    def _coefs(self, n: int) -> np.ndarray:
-        return self.internal[90:90 + n].astype(np.int64).astype(np.int32)
-
     def _add_clamp(self, plane: np.ndarray, off: int, res: np.ndarray) -> None:
         """Add residual and saturate: MinMaxTable[0x40 + pix + res] semantics
         (MobiclipDecoder.cs:3551-3558; table is clip(v,0,255), MobiConst:587).
@@ -714,25 +749,27 @@ class OracleDecoder:
             sl = plane[off + i * S:off + i * S + w]
             sl[:] = np.clip(sl.astype(np.int32) + res[i], 0, 255).astype(np.uint8)
 
-    def _idct_full8(self, plane: np.ndarray, off: int) -> None:
+    def _idct_full8(self, plane: np.ndarray, off: int,
+                    dense: np.ndarray) -> None:
         """IDCT64Px8 (MobiclipDecoder.cs:3435-3561): pass1 over coefficient
         rows into a transposed temp, pass2 emits spatial rows."""
-        c = self._coefs(64).reshape(8, 8).copy()
+        c = dense.copy()
         c[0, 0] += 32
         d = self._btf8(self._btf8(c).T)
         self._add_clamp(plane, off, d >> 6)
 
-    def _idct_sparse8(self, plane: np.ndarray, off: int) -> None:
+    def _idct_sparse8(self, plane: np.ndarray, off: int,
+                      dense: np.ndarray) -> None:
         """IDCT16Px8 (:3564-3658): coefficients confined to the 4x4 corner."""
-        c = self._coefs(64).reshape(8, 8)[:4, :4].copy()
+        c = dense[:4, :4].copy()
         c[0, 0] += 32
         d = self._btf48(self._btf48(c).T.copy())
         self._add_clamp(plane, off, d >> 6)
 
-    def _idct3x8(self, plane: np.ndarray, off: int) -> None:
+    def _idct3x8(self, plane: np.ndarray, off: int,
+                 dense: np.ndarray) -> None:
         """IDCT3Px8 (:3661-3707): DC + first two AC terms only."""
-        c = self._coefs(64)
-        c0, c1, c8 = int(c[0]) + 32, int(c[1]), int(c[8])
+        c0, c1, c8 = int(dense[0, 0]) + 32, int(dense[0, 1]), int(dense[1, 0])
 
         def weights(v: int) -> list[int]:
             w3 = v + (v >> 1)
@@ -746,21 +783,24 @@ class OracleDecoder:
         d = rw[:, None] + cw[None, :]
         self._add_clamp(plane, off, d >> 6)
 
-    def _idct1(self, plane: np.ndarray, off: int, n: int) -> None:
+    def _idct1(self, plane: np.ndarray, off: int, n: int,
+               dense: np.ndarray) -> None:
         """IDCT1Px8 / IDCT1Px4 (:3710-3725, :3787-3798): DC only."""
-        dc = (_s32(int(self.internal[90])) + 32) >> 6
+        dc = (int(dense[0, 0]) + 32) >> 6
         res = np.full((n, n), dc, dtype=np.int32)
         self._add_clamp(plane, off, res)
 
-    def _idct_full4(self, plane: np.ndarray, off: int) -> None:
+    def _idct_full4(self, plane: np.ndarray, off: int,
+                    dense: np.ndarray) -> None:
         """IDCT16Px4 (:3728-3784)."""
-        c = self._coefs(16).reshape(4, 4).copy()
+        c = dense.copy()
         c[0, 0] += 32
         d = self._btf4(self._btf4(c).T.copy())
         self._add_clamp(plane, off, d >> 6)
 
     # ----------------------------------------------------- intra prediction
-    def _predict_intra(self, mode: int, plane: np.ndarray, off: int) -> None:
+    def _predict_intra(self, mode: int, plane: np.ndarray, off: int,
+                       gradient: int | None = None) -> None:
         """PredictIntra (MobiclipDecoder.cs:1883-2773).
 
         Modes 0-9 are 8x8 (vertical, horizontal, plane, DC, HU, HD, VR, DDR,
@@ -775,10 +815,10 @@ class OracleDecoder:
         if mode == 9 or mode == 19:
             return
         if mode == 2:
-            self._plane8(plane, off)
+            self._plane8(plane, off, gradient)
             return
         if mode == 12:
-            self._plane4(plane, off)
+            self._plane4(plane, off, gradient)
             return
         n = 8 if mode < 10 else 4
         m = mode if mode < 10 else mode - 10
@@ -908,9 +948,8 @@ class OracleDecoder:
             plane[off + y * S:off + y * S + n] = out[y].astype(np.uint8)
 
     # ------------------------------------------------------ plane predictors
-    def _plane16(self, plane: np.ndarray, off: int) -> None:
+    def _plane16(self, plane: np.ndarray, off: int, g: int) -> None:
         """sub_1167BC: 16x16 plane/gradient predictor (:3017-3166)."""
-        g = self._varint_s()
         S = self.stride
         t = [int(v) for v in plane[off - S:off - S + 16]]
         bl = int(plane[off + S * 15 - 1])
@@ -938,9 +977,8 @@ class OracleDecoder:
                 vals.append((A[i] + r8 + 64) >> 7)
             self._store_pred_row(plane, off + row * S, vals)
 
-    def _plane8(self, plane: np.ndarray, off: int) -> None:
+    def _plane8(self, plane: np.ndarray, off: int, g: int) -> None:
         """sub_116CCC: 8x8 plane predictor (:3168-3251)."""
-        g = self._varint_s()
         S = self.stride
         t = [int(v) for v in plane[off - S:off - S + 8]]
         bl = int(plane[off + S * 7 - 1])
@@ -968,9 +1006,8 @@ class OracleDecoder:
                 vals.append((A[i] + r8 + 64) >> 7)
             self._store_pred_row(plane, off + row * S, vals)
 
-    def _plane4(self, plane: np.ndarray, off: int) -> None:
+    def _plane4(self, plane: np.ndarray, off: int, g: int) -> None:
         """sub_117E98: 4x4 plane predictor (:3253-3327)."""
-        g = self._varint_s()
         S = self.stride
         t = [int(v) for v in plane[off - S:off - S + 4]]
         bl = int(plane[off + S * 3 - 1])

@@ -1,0 +1,223 @@
+"""Frame planner: entropy-scan a frame into a device-friendly *frame plan*.
+
+This is the TPU-native architecture's central seam (SURVEY.md §7): the codec
+splits into an inherently sequential bitstream scan (entropy + mode + MV
+decode) and massively parallel pixel reconstruction.  ``PlanningDecoder``
+subclasses the oracle (sharing its parse path verbatim — zero divergence risk)
+but overrides the ``_exec_*`` hooks to *record* reconstruction ops instead of
+performing them.  The result is a :class:`FramePlan` of flat numpy arrays that
+the JAX/Pallas engine (models/pipeline.py) consumes.
+
+Decode-order semantics
+----------------------
+The reference reconstructs macroblocks strictly sequentially into freshly
+zeroed planes, and intra prediction reads *whatever is in the plane at that
+moment* — including zeros from not-yet-decoded regions (e.g. vertical-left
+modes tapping above-right of the current block, MobiclipDecoder.cs:2368-2471).
+To reproduce this with parallel reconstruction, the planner emits:
+
+* a per-4x4-cell **sequence map** ``s`` (which op finalizes each cell), so
+  intra tap gathers can mask "future" pixels to the fresh-plane value (0);
+* a per-intra-op **dependency level**: 1 + max level over tap cells that are
+  genuinely decoded before it.  The engine runs all MC, then all inter
+  residuals, then intra ops level by level — each level's ops are mutually
+  independent and vectorize.
+
+Coordinates: luma ops address the Y plane (H x S); chroma ops address the
+packed UV plane (H/2 x S) with U in columns [0, S/2) and V in [S/2, S) —
+preserving the reference's U/V boundary aliasing semantics.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .oracle_video import OracleDecoder
+
+
+@dataclasses.dataclass
+class FramePlan:
+    """All reconstruction work for one frame, as dense numpy arrays."""
+
+    width: int
+    height: int
+    stride: int
+    # --- motion compensation (phase 1): int32 (N, 7)
+    # columns: y, x, w, h, ref(1..5), dx, dy   (luma coords, half-pel MVs)
+    mc: np.ndarray
+    # --- inter residuals (phase 2)
+    # int32 (M, 4): plane(0=Y,1=UV), y, x, size(4|8); coefficients (M, 64)
+    resid: np.ndarray
+    resid_coef: np.ndarray
+    # --- intra ops (phase 3), in decode order
+    # int32 (K, 10): plane, y, x, size(4|8|16), mode, gradient, has_coef,
+    #                avail_top, avail_left, level
+    intra: np.ndarray
+    intra_coef: np.ndarray  # (K, 64) int32, zeros when has_coef == 0
+    # --- sequence maps at 4x4-cell granularity, -1 = never written.
+    # Holds the FIRST op sequence writing each cell: a tap pixel is visible
+    # to a reader at sequence q iff first_write < q (see mark() in plan()).
+    seq_y: np.ndarray   # (H/4, S/4) int32
+    seq_uv: np.ndarray  # (H/8, S/4) int32
+    n_levels: int
+
+
+class PlanningDecoder(OracleDecoder):
+    """Oracle parse path + op recording (no pixel work).
+
+    After ``decode_frame()`` (which returns zero planes — reconstruction is
+    the engine's job), call :meth:`plan` for the FramePlan.  Ring-buffer
+    bookkeeping still happens so multi-frame GOP planning works; the *engine*
+    owns the actual reference pixels.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._ops: list[tuple] = []
+
+    # -- recording hooks ---------------------------------------------------
+    def _exec_mc(self, w, h, ref, dx, dy, off):
+        self._ops.append(("mc", w, h, ref, dx, dy, off))
+
+    def _exec_intra(self, plane, off, size, mode, gradient, coefs):
+        pid, y, x = self._locate(plane, off)
+        self._ops.append(("intra", pid, y, x, size, mode,
+                          0 if gradient is None else gradient,
+                          coefs))
+
+    def _exec_resid(self, plane, off, size, coefs):
+        pid, y, x = self._locate(plane, off)
+        self._ops.append(("resid", pid, y, x, size, coefs))
+
+    def _exec_plane16(self, off, gradient):
+        self._ops.append(("intra", 0, off // self.stride, off % self.stride,
+                          16, 2, gradient, None))
+
+    def _locate(self, plane, off):
+        if plane is self.y_planes[0]:
+            return 0, off // self.stride, off % self.stride
+        return 1, off // self.stride, off % self.stride
+
+    # -- plan assembly -----------------------------------------------------
+    def decode_frame(self, rgb=False):
+        self._ops = []
+        return super().decode_frame(rgb=False)
+
+    def plan(self) -> FramePlan:
+        S, H, W = self.stride, self.height, self.width
+        cs = 4  # cell size
+        seq_y = np.full((H // cs, S // cs), -1, dtype=np.int64)
+        seq_uv = np.full((H // 2 // cs, S // cs), -1, dtype=np.int64)
+        lvl_y = np.zeros_like(seq_y)
+        lvl_uv = np.zeros_like(seq_uv)
+
+        mc_rows, resid_rows, resid_coefs = [], [], []
+        intra_rows, intra_coefs = [], []
+        n_levels = 0
+
+        def cells(seqmap, y, x, h, w):
+            return seqmap[y // cs:(y + h + cs - 1) // cs,
+                          x // cs:(x + w + cs - 1) // cs]
+
+        def mark(seqmap, y, x, h, w, seq):
+            """First-write sequence per cell: visibility for a reader at
+            sequence q is 'exists a write before q', i.e. first_write < q.
+            (Later rewrites of the same cell — residual-on-plane, pass-through
+            modes — never straddle a foreign reader; same-MB ops are
+            contiguous in decode order.)"""
+            region = cells(seqmap, y, x, h, w)
+            region[region == -1] = seq
+
+        for seq, op in enumerate(self._ops):
+            kind = op[0]
+            if kind == "mc":
+                _, w, h, ref, dx, dy, off = op
+                y, x = off // S, off % S
+                mc_rows.append((y, x, w, h, ref, dx, dy))
+                mark(seq_y, y, x, h, w, seq)
+                # chroma cells (U and V halves)
+                cy, cxu = y // 2, x // 2
+                cw, ch = max(w // 2, 1), max(h // 2, 1)
+                mark(seq_uv, cy, cxu, ch, cw, seq)
+                mark(seq_uv, cy, cxu + S // 2, ch, cw, seq)
+            elif kind == "resid":
+                _, pid, y, x, size, (dense, _last) = op
+                resid_rows.append((pid, y, x, size))
+                co = np.zeros(64, np.int32)
+                co[:size * size] = dense.ravel()
+                resid_coefs.append(co)
+                smap = seq_y if pid == 0 else seq_uv
+                mark(smap, y, x, size, size, seq)
+            else:  # intra
+                _, pid, y, x, size, mode, grad, coefs = op
+                smap = seq_y if pid == 0 else seq_uv
+                lmap = lvl_y if pid == 0 else lvl_uv
+                ph = (H if pid == 0 else H // 2)
+                # availability (mirrors the DC checks + general edge reads)
+                half = (S // 2 if (pid == 1 and x >= S // 2) else 0)
+                avail_left = (x - half) != 0
+                avail_top = y != 0
+                # tap cells: conservative superset of every mode's reads
+                taps = []
+                if y > 0:
+                    x0 = max(x - cs, 0)
+                    x1 = min(x + 2 * size, S)
+                    taps.append((smap[(y - 1) // cs,
+                                      x0 // cs:(x1 + cs - 1) // cs],
+                                 lmap[(y - 1) // cs,
+                                      x0 // cs:(x1 + cs - 1) // cs]))
+                if x > 0:
+                    y1 = min(y + size, ph)
+                    taps.append((smap[y // cs:(y1 + cs - 1) // cs,
+                                      (x - 1) // cs],
+                                 lmap[y // cs:(y1 + cs - 1) // cs,
+                                      (x - 1) // cs]))
+                if mode in (9, 19):
+                    # pass-through: residual applies onto earlier ops' output
+                    taps.append((cells(smap, y, x, size, size).ravel(),
+                                 cells(lmap, y, x, size, size).ravel()))
+                level = 1
+                for s_arr, l_arr in taps:
+                    s_arr = np.atleast_1d(s_arr)
+                    l_arr = np.atleast_1d(l_arr)
+                    m = (s_arr >= 0) & (s_arr < seq)
+                    if m.any():
+                        level = max(level, int(l_arr[m].max()) + 1)
+                idx = len(intra_rows)
+                intra_rows.append((pid, y, x, size, mode, grad,
+                                   0 if coefs is None else 1,
+                                   int(avail_top), int(avail_left), level))
+                co = np.zeros(64, np.int32)
+                if coefs is not None:
+                    dense, _last = coefs
+                    co[:size * size] = dense.ravel()
+                intra_coefs.append(co)
+                mark(smap, y, x, size, size, seq)
+                cells(lmap, y, x, size, size)[:] = level
+                n_levels = max(n_levels, level)
+
+        # Re-express seq maps in *intra-op index* terms for the engine: a tap
+        # pixel is visible to intra op k iff its cell seq < op k's seq.  We
+        # store per-cell the op-relative order directly: cells written by the
+        # i-th recorded op get i; intra op k knows its own recorded seq.
+        # (The engine compares against the recorded op seq of each intra op,
+        # so we also need that: append it as a column.)
+        intra = np.array(intra_rows, dtype=np.int64).reshape(-1, 10)
+        # recorded op seqs of intra ops, in emission order:
+        iseqs = [i for i, op in enumerate(self._ops) if op[0] == "intra"]
+        intra_seq = np.array(iseqs, dtype=np.int64).reshape(-1)
+        intra = np.concatenate([intra, intra_seq[:, None]], axis=1) \
+            if len(intra) else np.zeros((0, 11), np.int64)
+
+        return FramePlan(
+            width=W, height=H, stride=S,
+            mc=np.array(mc_rows, dtype=np.int64).reshape(-1, 7),
+            resid=np.array(resid_rows, dtype=np.int64).reshape(-1, 4),
+            resid_coef=(np.stack(resid_coefs) if resid_coefs
+                        else np.zeros((0, 64), np.int32)),
+            intra=intra,
+            intra_coef=(np.stack(intra_coefs) if intra_coefs
+                        else np.zeros((0, 64), np.int32)),
+            seq_y=seq_y, seq_uv=seq_uv, n_levels=n_levels,
+        )
