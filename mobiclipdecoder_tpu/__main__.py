@@ -1,0 +1,31 @@
+"""CLI: `python -m mobiclipdecoder_tpu decode <in> <out_prefix> [--engine tpu]`.
+
+The batch-decode entry point (role of MobiConverter/Program.cs `-d`): decodes
+a container file to raw .y4m video (+ .wav audio when present).
+"""
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="mobiclipdecoder_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    d = sub.add_parser("decode", help="decode a container file to raw A/V")
+    d.add_argument("input")
+    d.add_argument("out_prefix")
+    d.add_argument("--engine", choices=["oracle", "tpu"], default="tpu")
+    args = p.parse_args(argv)
+    if args.cmd == "decode":
+        from .runtime.transcode import transcode
+        t0 = time.perf_counter()
+        stats = transcode(args.input, args.out_prefix, engine=args.engine)
+        stats["seconds"] = round(time.perf_counter() - t0, 3)
+        stats["fps"] = round(stats["frames"] / max(stats["seconds"], 1e-9), 2)
+        print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,135 @@
+"""Batch transcoder: container file in -> raw YUV/PCM/RGB out.
+
+The TPU-native equivalent of the reference CLI converter
+(MobiConverter/Program.cs:18-490): signature-based container dispatch, video
+decode through either the oracle (spec) or the TPU pipeline, per-frame audio
+packet round-robin across channels, channel interleave, raw writers instead
+of the Windows AVI library.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from ..containers.mods import ModsDemuxer
+from ..models.audio_ima import ImaAdpcmDecoder
+from ..models.oracle_video import MobiclipVersion, OracleDecoder
+from ..utils import rawio
+
+
+@dataclasses.dataclass
+class DecodedFrame:
+    index: int
+    y: np.ndarray       # (H, W) uint8
+    u: np.ndarray       # (H/2, W/2)
+    v: np.ndarray
+    keyframe: bool
+    pcm: np.ndarray | None  # interleaved int16 for this frame, or None
+
+
+def _make_video_decoder(width: int, height: int, version: MobiclipVersion,
+                        engine: str):
+    if engine == "oracle":
+        return OracleDecoder(width, height, version)
+    if engine == "tpu":
+        from ..models.pipeline import JaxVideoDecoder
+        return JaxVideoDecoder(width, height, version)
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def decode_mods(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
+    """Decode a MODS container (video + MODS-style per-frame audio packets,
+    Program.cs:206-358).  Yields DecodedFrame per frame."""
+    dm = ModsDemuxer(data)
+    h = dm.header
+    W, H = h.width, h.height
+    dec = _make_video_decoder(W, H, MobiclipVersion.MODS_DS, engine)
+    S = dec.stride if hasattr(dec, "stride") else 256
+    nch = h.nb_channel
+    has_audio = h.audio_codec == 3 and nch > 0 and h.frequency > 0
+    adpcm = [ImaAdpcmDecoder() for _ in range(nch)]
+    queues: list[list[np.ndarray]] = [[] for _ in range(nch)]
+    cur_channel = 0
+    frame_idx = 0
+    while True:
+        rec = dm.read_frame()
+        if rec is None:
+            return
+        pkt, n_audio, is_key = rec
+        if isinstance(dec, OracleDecoder):
+            dec.data = pkt
+            dec.offset = 0
+            dec.decode_frame()
+            y = dec.y_planes[0].reshape(-1, S)
+            uv = dec.uv_planes[0].reshape(-1, S)
+            end_off = dec.offset
+        else:
+            y, uv = dec.decode_frame(pkt)
+            end_off = dec.offset
+        pcm = None
+        if n_audio > 0 and has_audio:
+            # audio starts where the video bit reader stopped, minus its
+            # one-word over-read (Program.cs:250-252); TagId 'N3' quirk: +4
+            off = end_off - 2
+            if h.tag_id == 0x334E and len(pkt) >= 2 \
+                    and (pkt[0] | (pkt[1] << 8)) & 0x8000:
+                off += 4
+            if is_key:
+                adpcm = [ImaAdpcmDecoder() for _ in range(nch)]
+                queues = [[] for _ in range(nch)]
+            for _ in range(n_audio):
+                d = adpcm[cur_channel]
+                ln = 128 + (0 if d.is_init else 4)
+                queues[cur_channel].append(d.decode(pkt, off, ln))
+                off += ln
+                cur_channel = (cur_channel + 1) % nch
+            smallest = min((sum(len(a) for a in q) for q in queues),
+                           default=0)
+            if smallest > 0:
+                chans = []
+                for i in range(nch):
+                    buf = np.concatenate(queues[i]) if queues[i] else \
+                        np.empty(0, np.int16)
+                    chans.append(buf[:smallest])
+                    rest = buf[smallest:]
+                    queues[i] = [rest] if len(rest) else []
+                pcm = rawio.interleave_channels(chans)
+        yield DecodedFrame(
+            index=frame_idx,
+            y=y[:H, :W].copy(),
+            u=uv[:H // 2, :W // 2].copy(),
+            v=uv[:H // 2, S // 2:S // 2 + W // 2].copy(),
+            keyframe=is_key, pcm=pcm)
+        frame_idx += 1
+
+
+def transcode(path: str | Path, out_prefix: str | Path,
+              engine: str = "oracle") -> dict:
+    """File -> <prefix>.y4m (+ <prefix>.wav when the container carries audio).
+    Returns summary stats."""
+    data = Path(path).read_bytes()
+    if data[:4] == b"MODS":
+        dm = ModsDemuxer(data)
+        h = dm.header
+        frames = decode_mods(data, engine=engine)
+        y4m = rawio.Y4MWriter(str(out_prefix) + ".y4m", h.width, h.height,
+                              h.fps_float)
+        pcm_parts = []
+        n = 0
+        for fr in frames:
+            y4m.add_frame(fr.y, fr.u, fr.v)
+            if fr.pcm is not None:
+                pcm_parts.append(fr.pcm)
+            n += 1
+        y4m.close()
+        if pcm_parts:
+            rawio.write_wav(str(out_prefix) + ".wav",
+                            np.concatenate(pcm_parts), h.frequency,
+                            h.nb_channel)
+        return {"container": "mods", "frames": n,
+                "audio": bool(pcm_parts), "width": h.width,
+                "height": h.height}
+    raise ValueError("unrecognized container signature")

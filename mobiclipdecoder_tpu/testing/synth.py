@@ -271,7 +271,7 @@ class StreamSynthesizer:
 
     # --------------------------------------------------------------- frames
     def iframe(self, quantizer: int = 0x18, table: int = 0,
-               yuv_format: int = 1) -> bytes:
+               yuv_format: int = 1, pad: bool = True) -> bytes:
         """Emit one I-frame packet (header per MobiclipDecoder.cs:222-236)."""
         bw = BitWriter()
         bw.write_bits(1, 1)  # I
@@ -288,9 +288,9 @@ class StreamSynthesizer:
                 else:
                     self._emit_intra_full_mb(bw, mbx, mby)
         self.frame_idx += 1
-        return bw.to_bytes() + b"\x00\x00"
+        return bw.to_bytes() + (b"\x00\x00" if pad else b"")
 
-    def pframe(self, dq: int = 0) -> bytes:
+    def pframe(self, dq: int = 0, pad: bool = True) -> bytes:
         """Emit one P-frame packet (header per MobiclipDecoder.cs:115-143)."""
         assert self.frame_idx > 0, "P-frame needs a prior frame"
         bw = BitWriter()
@@ -329,7 +329,7 @@ class StreamSynthesizer:
                     for _ in range(bin(mask & 0xF).count("1") + bin(mask >> 4).count("1")):
                         self._emit_residual8(bw)
         self.frame_idx += 1
-        return bw.to_bytes() + b"\x00\x00"
+        return bw.to_bytes() + (b"\x00\x00" if pad else b"")
 
     def _emit_residual8(self, bw: BitWriter) -> None:
         """Inverse of loc_11652C (MobiclipDecoder.cs:2909)."""
