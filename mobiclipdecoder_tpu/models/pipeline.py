@@ -19,10 +19,23 @@ Planes live in one (H + H/2, S) int32 buffer per frame: Y on top, packed UV
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the reconstruction programs are large and the
+# tunneled TPU backend compiles them slowly (minutes); with fixed shape
+# buckets below, each geometry compiles exactly once ever.
+_cache_dir = os.environ.get("MOBICLIP_JAX_CACHE",
+                            os.path.join(os.path.dirname(__file__),
+                                         "..", "..", ".jax_cache"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the knobs
+    pass
 
 from ..ops.idct import idct4, idct8
 from ..ops.intra_tables import AVG2, AVG3, COPY, DC, KIND, PASS, TAPS
@@ -30,8 +43,23 @@ from .oracle_video import MobiclipVersion
 from .plan import FramePlan, PlanningDecoder
 
 
-def _pad_rows(a: np.ndarray, min_rows: int = 8) -> np.ndarray:
-    n = max(min_rows, 1 << (max(a.shape[0], 1) - 1).bit_length())
+def _bucket(n: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"size {n} exceeds largest bucket {buckets[-1]}")
+
+
+# Fixed shape buckets: every decode program shape is drawn from this small
+# set, so there are only a handful of programs per frame geometry — compiled
+# once ever thanks to the persistent cache.
+_MC_BUCKETS = (256, 1024, 4096)
+_RES_BUCKETS = (256, 1024, 4096)
+_K_BUCKETS = (32, 128)
+_L_BUCKETS = (8, 32, 1024)
+
+
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     if a.shape[0] == n:
         return a
     pad = np.zeros((n - a.shape[0],) + a.shape[1:], a.dtype)
@@ -39,32 +67,40 @@ def _pad_rows(a: np.ndarray, min_rows: int = 8) -> np.ndarray:
 
 
 def prepare_plan(plan: FramePlan) -> dict:
-    """Pack a FramePlan into padded device arrays (static-shape buckets)."""
-    H, S = plan.height, plan.stride
-    mc = _pad_rows(plan.mc.astype(np.int32))
-    resid = _pad_rows(plan.resid.astype(np.int32))
-    resid_coef = _pad_rows(plan.resid_coef.astype(np.int32))
-    resid_coef = resid_coef[:resid.shape[0]] if resid_coef.shape[0] >= resid.shape[0] \
-        else np.concatenate([resid_coef, np.zeros(
-            (resid.shape[0] - resid_coef.shape[0], 64), np.int32)])
-    # group intra ops by level
-    L = max(plan.n_levels, 1)
+    """Pack a FramePlan into padded device arrays (fixed shape buckets).
+
+    Intra ops are grouped by dependency level; a level with more ops than the
+    K bucket is split into consecutive sub-levels (blocks within a level are
+    mutually independent, so any split preserves correctness)."""
+    mc = _pad_rows(plan.mc.astype(np.int32),
+                   _bucket(max(plan.mc.shape[0], 1), _MC_BUCKETS))
+    nr = _bucket(max(plan.resid.shape[0], 1), _RES_BUCKETS)
+    resid = _pad_rows(plan.resid.astype(np.int32), nr)
+    resid_coef = _pad_rows(plan.resid_coef.astype(np.int32), nr)
     intra = plan.intra.astype(np.int64)
-    kmax = 1
+    L = max(plan.n_levels, 1)
     buckets: list[list[int]] = [[] for _ in range(L)]
     for i in range(intra.shape[0]):
         buckets[int(intra[i, 9]) - 1].append(i)
     kmax = max((len(b) for b in buckets), default=1) or 1
-    kmax = 1 << (kmax - 1).bit_length()
-    iops = np.zeros((L, kmax, 11), np.int32)
-    icoef = np.zeros((L, kmax, 64), np.int32)
-    for lv, b in enumerate(buckets):
+    K = _bucket(min(kmax, _K_BUCKETS[-1]), _K_BUCKETS)
+    rows: list[list[int]] = []
+    for b in buckets:
+        if not b:
+            rows.append([])
+        for j in range(0, len(b), K):
+            rows.append(b[j:j + K])
+    L2 = _bucket(max(len(rows), 1), _L_BUCKETS)
+    iops = np.zeros((L2, K, 11), np.int32)
+    icoef = np.zeros((L2, K, 64), np.int32)
+    for lv, b in enumerate(rows):
         for j, i in enumerate(b):
             iops[lv, j] = intra[i].astype(np.int32)
             icoef[lv, j] = plan.intra_coef[i]
     seqmap = np.concatenate([plan.seq_y, plan.seq_uv], axis=0).astype(np.int32)
     return dict(mc=mc, resid=resid, resid_coef=resid_coef,
-                iops=iops, icoef=icoef, seqmap=seqmap)
+                iops=iops, icoef=icoef, seqmap=seqmap,
+                n_levels=np.int32(len(rows)))
 
 
 # --------------------------------------------------------------------- MC
@@ -74,17 +110,17 @@ def _mc_kernel(ring, buf, mc, H, S):
     y, x, w, h, ref, dx, dy = (mc[:, k] for k in range(7))
     valid = w > 0
 
-    def fetch(rows, cols, refi):
-        rows = jnp.clip(rows, 0, HH - 1)
-        cols = jnp.clip(cols, 0, S - 1)
-        return ring[refi, rows, cols]
+    ring_flat = ring.reshape(-1)
 
     def window(ybase, xbase, refi, n):
-        ii = jnp.arange(n)[:, None, None]
-        jj = jnp.arange(n)[None, :, None]
-        rows = ybase[None, None, :] + ii
-        cols = xbase[None, None, :] + jj
-        return jnp.moveaxis(fetch(rows, cols, refi[None, None, :]), -1, 0)
+        # flat 1-D gather (canonical form; multi-dim fancy gathers lower
+        # catastrophically in XLA:TPU)
+        ii = jnp.arange(n)[None, :, None]
+        jj = jnp.arange(n)[None, None, :]
+        rows = jnp.clip(ybase[:, None, None] + ii, 0, HH - 1)
+        cols = jnp.clip(xbase[:, None, None] + jj, 0, S - 1)
+        flat = refi[:, None, None] * (HH * S) + rows * S + cols
+        return jnp.take(ring_flat, flat, mode="clip")
 
     def halfpel(wnd, ddx, ddy, n):
         a = wnd[:, :n, :n]
@@ -148,7 +184,7 @@ def _resid_kernel(buf, resid, coef, H, S):
     jj = jnp.arange(16)[None, None, :]
     rows = jnp.clip(row0[:, None, None] + ii, 0, HH - 1)
     cols = jnp.clip(x[:, None, None] + jj, 0, S - 1)
-    cur = buf[rows, cols]
+    cur = jnp.take(buf.reshape(-1), rows * S + cols, mode="clip")
     out = jnp.clip(cur + res, 0, 255)
     ok = (size[:, None, None] > 0) & (ii < size[:, None, None]) \
         & (jj < size[:, None, None])
@@ -163,98 +199,106 @@ _KIND = jnp.asarray(KIND)
 _TAPS = jnp.asarray(TAPS)
 
 
-def _gather_taps(buf, seqmap, row0, x, seq, HH, S):
-    """Gather the 33-tap neighbor vector with decode-order masking."""
-    # positions: corner, t[0..15] (row above), l[0..15] (column left)
-    rows = jnp.concatenate([
-        jnp.full((17,), row0 - 1, jnp.int32),
-        row0 + jnp.arange(16, dtype=jnp.int32)])
-    cols = jnp.concatenate([
-        jnp.asarray([x - 1], jnp.int32),
-        x + jnp.arange(16, dtype=jnp.int32),
-        jnp.full((16,), x - 1, jnp.int32)])
-    cr = jnp.clip(rows, 0, HH - 1)
-    cc = jnp.clip(cols, 0, S - 1)
-    vals = buf[cr, cc]
-    cell_seq = seqmap[cr >> 2, cc >> 2]
-    visible = (cell_seq >= 0) & (cell_seq < seq)
-    return jnp.where(visible, vals, 0)
+def _plane_pred_batch(taps, size, grad):
+    """Vectorized closed-form plane predictor over a level batch.
 
-
-def _plane_pred(taps, size, grad):
-    """Closed-form integer plane predictor (sub_1167BC / sub_116CCC /
-    sub_117E98, MobiclipDecoder.cs:3017-3327), emitted through the same
-    u32 word composition as the reference so out-of-range values alias
-    between byte lanes identically."""
-    t = taps[1:17]
-    l = taps[17:33]
+    taps: (K, 33) int32; size, grad: (K,).  Returns (K, 16, 16) with the
+    reference's u32 word-composition byte aliasing
+    (sub_1167BC/sub_116CCC/sub_117E98, MobiclipDecoder.cs:3017-3327).
+    """
+    t = taps[:, 1:17]
+    l = taps[:, 17:33]
+    K = taps.shape[0]
     idx = jnp.arange(16)
-    n4, n8, n16 = size == 4, size == 8, size == 16
-    nm1 = size - 1
-    tr = t[nm1]
-    bl = l[nm1]
+    n16 = (size == 16)[:, None]
+    n4 = (size == 4)[:, None]
+    nm1 = jnp.clip(size - 1, 0, 15)
+    tr = jnp.take_along_axis(t, nm1[:, None], axis=1)[:, 0]
+    bl = jnp.take_along_axis(l, nm1[:, None], axis=1)[:, 0]
     r5 = ((bl + tr + 1) >> 1) + 2 * grad
-    # column-constant and row-constant linear coefficients per size
-    r6 = jnp.where(n16, r5 - bl + 1, r5 - bl)
-    r9 = jnp.where(n16, r5 - tr + 1, r5 - tr)
-    tscale = jnp.where(n4, 4, 8)          # t_i multiplier inside B
-    ascale = jnp.where(n4, 16, 64)        # A base multiplier
-    rshift = jnp.where(n4, 5, 7)
-    rnd = jnp.where(n4, 16, 64)
-    i1 = idx + 1
-    r4_i = bl * tscale + i1 * jnp.where(n16, r6 >> 1, r6)
+    r6 = jnp.where(n16[:, 0], r5 - bl + 1, r5 - bl)
+    r9 = jnp.where(n16[:, 0], r5 - tr + 1, r5 - tr)
+    tscale = jnp.where(n4, 4, 8)
+    ascale = jnp.where(n4, 16, 64)
+    rshift = jnp.where(size == 4, 5, 7)[:, None, None]
+    rnd = jnp.where(n4, 16, 64)[:, :1, None]
+    i1 = idx[None, :] + 1
+    r4_i = bl[:, None] * tscale + i1 * jnp.where(n16, r6[:, None] >> 1,
+                                                 r6[:, None])
     B = jnp.where(n16, r4_i - t * 8 + 1, r4_i - t * tscale)
-    r10_r = tr * tscale + i1 * jnp.where(n16, r9 >> 1, r9)
+    r10_r = tr[:, None] * tscale + i1 * jnp.where(n16, r9[:, None] >> 1,
+                                                  r9[:, None])
     r7_r = jnp.where(n16, r10_r - l * 8 + 1, r10_r - l * tscale)
-    # out[r, j] = (ascale*t_j + (r+1)*Bterm_j + ascale*l_r + (j+1)*r7term_r
-    #              + rnd) >> rshift
-    Bterm = jnp.where(n16, B >> 1, B)
-    r7term = jnp.where(n16, r7_r >> 1, r7_r)
+    Bt = jnp.where(n16, B >> 1, B)
+    r7t = jnp.where(n16, r7_r >> 1, r7_r)
     rr = idx[:, None]
     jj = idx[None, :]
-    acc = (ascale * t[None, :] + (rr + 1) * Bterm[None, :]
-           + ascale * l[:, None] + (jj + 1) * r7term[:, None] + rnd)
+    acc = (ascale[:, :1, None] * t[:, None, :]
+           + (rr + 1)[None] * Bt[:, None, :]
+           + ascale[:, :1, None] * l[:, :, None]
+           + (jj + 1)[None] * r7t[:, :, None] + rnd)
     out = acc >> rshift
-    # u32 word composition per 4 output pixels (LE lanes), then re-extract
-    w0 = out[:, 0::4]
-    w1 = out[:, 1::4]
-    w2 = out[:, 2::4]
-    w3 = out[:, 3::4]
+    w0, w1, w2, w3 = (out[:, :, k::4] for k in range(4))
     word = (w0 | (w1 << 8) | (w2 << 16) | (w3 << 24))
-    res = jnp.zeros((16, 16), jnp.int32)
-    res = res.at[:, 0::4].set(word & 0xFF)
-    res = res.at[:, 1::4].set((word >> 8) & 0xFF)
-    res = res.at[:, 2::4].set((word >> 16) & 0xFF)
-    res = res.at[:, 3::4].set((word >> 24) & 0xFF)
+    res = jnp.zeros((K, 16, 16), jnp.int32)
+    res = res.at[:, :, 0::4].set(word & 0xFF)
+    res = res.at[:, :, 1::4].set((word >> 8) & 0xFF)
+    res = res.at[:, :, 2::4].set((word >> 16) & 0xFF)
+    res = res.at[:, :, 3::4].set((word >> 24) & 0xFF)
     return res
 
 
-def _intra_op(buf, seqmap, op, coef, H, S):
-    """Predict + residual for one intra op; returns (tile16, okmask16)."""
+def _intra_level_kernel(buf, seqmap, ops, coefs, H, S):
+    """One dependency level of intra ops, fully batch-vectorized: bulk flat
+    gathers (tap vectors, current content, visibility cells), formula select
+    via precomputed LUTs, batched IDCT residuals, one masked flat scatter.
+    No per-op control flow — everything is (K, ...) tensor math."""
     HH = H + H // 2
-    pid, y, x, size, mode, grad, has_coef, av_t, av_l = (op[k] for k in range(9))
-    seq = op[10]
+    bflat = buf.reshape(-1)
+    sflat = seqmap.reshape(-1)
+    Sc = S >> 2
+    pid, y, x, size, mode, grad, has_coef = (ops[:, k] for k in range(7))
+    av_t, av_l = ops[:, 7], ops[:, 8]
+    seq = ops[:, 10]
     row0 = y + pid * H
-    taps = _gather_taps(buf, seqmap, row0, x, seq, HH, S)
-    n = size
-    # current content (for PASS modes and residual-on-top)
-    ii = jnp.arange(16)[:, None]
-    jj = jnp.arange(16)[None, :]
-    rows = jnp.clip(row0 + ii, 0, HH - 1)
-    cols = jnp.clip(x + jj, 0, S - 1)
-    cur_cell = seqmap[rows >> 2, cols >> 2]
-    cur = jnp.where((cur_cell >= 0) & (cur_cell < seq), buf[rows, cols], 0)
-    # formula path
-    kind = _KIND[mode]
-    tsel = _TAPS[mode]
-    a = taps[tsel[:, 0]]
-    b = taps[tsel[:, 1]]
-    c = taps[tsel[:, 2]]
-    # DC value
+
+    # ---- 33-tap neighbor vectors: corner, t[0..15], l[0..15]
+    a16 = jnp.arange(16)
+    tap_rows = jnp.concatenate([
+        jnp.broadcast_to((row0 - 1)[:, None], (row0.shape[0], 17)),
+        row0[:, None] + a16[None, :]], axis=1)
+    tap_cols = jnp.concatenate([
+        (x - 1)[:, None],
+        x[:, None] + a16[None, :],
+        jnp.broadcast_to((x - 1)[:, None], (x.shape[0], 16))], axis=1)
+    cr = jnp.clip(tap_rows, 0, HH - 1)
+    cc = jnp.clip(tap_cols, 0, S - 1)
+    vals = jnp.take(bflat, cr * S + cc, mode="clip")
+    cell = jnp.take(sflat, (cr >> 2) * Sc + (cc >> 2), mode="clip")
+    taps = jnp.where((cell >= 0) & (cell < seq[:, None]), vals, 0)
+
+    # ---- current block content (PASS modes / mode-9 residual base)
+    ii = jnp.arange(16)[None, :, None]
+    jj = jnp.arange(16)[None, None, :]
+    rows = jnp.clip(row0[:, None, None] + ii, 0, HH - 1)
+    cols = jnp.clip(x[:, None, None] + jj, 0, S - 1)
+    cur_cell = jnp.take(sflat, (rows >> 2) * Sc + (cols >> 2), mode="clip")
+    cur_v = jnp.take(bflat, rows * S + cols, mode="clip")
+    cur = jnp.where((cur_cell >= 0) & (cur_cell < seq[:, None, None]),
+                    cur_v, 0)
+
+    # ---- formula modes via LUT select
+    kind = jnp.take(_KIND, mode, axis=0, mode="clip")      # (K, 256)
+    tsel = jnp.take(_TAPS, mode, axis=0, mode="clip")      # (K, 256, 3)
+    a = jnp.take_along_axis(taps, tsel[:, :, 0], axis=1)
+    b = jnp.take_along_axis(taps, tsel[:, :, 1], axis=1)
+    c = jnp.take_along_axis(taps, tsel[:, :, 2], axis=1)
+
+    # ---- DC values
     npx = jnp.where(size == 4, 4, 8)
-    lanes = jnp.arange(16)
-    sum_t = jnp.sum(jnp.where(lanes < npx, taps[1:17], 0))
-    sum_l = jnp.sum(jnp.where(lanes < npx, taps[17:33], 0))
+    lane = jnp.arange(16)[None, :]
+    sum_t = jnp.sum(jnp.where(lane < npx[:, None], taps[:, 1:17], 0), axis=1)
+    sum_l = jnp.sum(jnp.where(lane < npx[:, None], taps[:, 17:33], 0), axis=1)
     log_n = jnp.where(size == 4, 2, 3)
     dc_both = (sum_t + sum_l + npx) >> (log_n + 1)
     dc_top = (sum_t + (npx >> 1)) >> log_n
@@ -265,39 +309,39 @@ def _intra_op(buf, seqmap, op, coef, H, S):
                                        dc_both, 0x80)))
     px = jnp.where(kind == COPY, a,
                    jnp.where(kind == AVG2, (a + b + 1) >> 1,
-                             jnp.where(kind == AVG3, (a + 2 * b + c + 2) >> 2,
-                                       jnp.where(kind == DC, dc, 0))))
-    pred = px.reshape(16, 16)
-    pred = jnp.where(kind.reshape(16, 16) == PASS, cur, pred)
-    # plane modes override
-    is_plane = (mode == 2) | (mode == 12)
-    pred = jnp.where(is_plane, _plane_pred(taps, size, grad), pred)
-    # residual
-    res8 = idct8(coef.reshape(8, 8))
-    res4 = jnp.pad(idct4(coef[:16].reshape(4, 4)), ((0, 4), (0, 4)))
-    res = jnp.zeros((16, 16), jnp.int32)
-    res = res.at[:8, :8].set(jnp.where(size == 4, res4, res8))
-    out = jnp.where(has_coef == 1, jnp.clip(pred + res, 0, 255), pred)
-    ok = (size > 0) & (ii < n) & (jj < n)
-    return out, ok
+                             jnp.where(kind == AVG3,
+                                       (a + 2 * b + c + 2) >> 2,
+                                       jnp.where(kind == DC,
+                                                 dc[:, None], 0))))
+    pred = px.reshape(-1, 16, 16)
+    pred = jnp.where(kind.reshape(-1, 16, 16) == PASS, cur, pred)
+    is_plane = ((mode == 2) | (mode == 12))[:, None, None]
+    pred = jnp.where(is_plane, _plane_pred_batch(taps, size, grad), pred)
+
+    # ---- residuals (full IDCT at block size)
+    res8 = idct8(coefs.reshape(-1, 8, 8))
+    res4 = jnp.pad(idct4(coefs[:, :16].reshape(-1, 4, 4)),
+                   ((0, 0), (0, 4), (0, 4)))
+    res = jnp.zeros((coefs.shape[0], 16, 16), jnp.int32)
+    res = res.at[:, :8, :8].set(
+        jnp.where((size == 4)[:, None, None], res4, res8))
+    out = jnp.where((has_coef == 1)[:, None, None],
+                    jnp.clip(pred + res, 0, 255), pred)
+
+    # ---- masked scatter
+    ok = ((size > 0)[:, None, None] & (ii < size[:, None, None])
+          & (jj < size[:, None, None]))
+    flat = jnp.where(ok, (row0[:, None, None] + ii) * S
+                     + x[:, None, None] + jj, HH * S)
+    return bflat.at[flat.ravel()].set(out.ravel(),
+                                      mode="drop").reshape(HH, S)
 
 
-def _intra_level_kernel(buf, seqmap, ops, coefs, H, S):
-    HH = H + H // 2
-    out, ok = jax.vmap(
-        lambda op, coef: _intra_op(buf, seqmap, op, coef, H, S))(ops, coefs)
-    ii = jnp.arange(16)[None, :, None]
-    jj = jnp.arange(16)[None, None, :]
-    rows = ops[:, 1][:, None, None] + ops[:, 0][:, None, None] * H + ii
-    cols = ops[:, 2][:, None, None] + jj
-    flat = jnp.where(ok, rows * S + cols, HH * S)
-    return buf.ravel().at[flat.ravel()].set(out.ravel(),
-                                            mode="drop").reshape(HH, S)
-
-
-@functools.partial(jax.jit, static_argnames=("H", "S"))
-def _decode_frame_jit(ring, mc, resid, resid_coef, iops, icoef, seqmap,
-                      H: int, S: int):
+def decode_frame_core(ring, mc, resid, resid_coef, iops, icoef, seqmap,
+                      n_levels, H: int, S: int):
+    """Pure single-frame reconstruction (vmappable over a stream batch).
+    ``n_levels`` is a traced trip count: level-array padding costs nothing
+    at runtime."""
     HH = H + H // 2
     buf = jnp.zeros((HH, S), jnp.int32)
     buf = _mc_kernel(ring, buf, mc, H, S)
@@ -308,8 +352,17 @@ def _decode_frame_jit(ring, mc, resid, resid_coef, iops, icoef, seqmap,
         cfs = jax.lax.dynamic_index_in_dim(icoef, lv, 0, keepdims=False)
         return _intra_level_kernel(buf, seqmap, ops, cfs, H, S)
 
-    buf = jax.lax.fori_loop(0, iops.shape[0], body, buf)
-    return buf
+    return jax.lax.fori_loop(0, jnp.minimum(n_levels, iops.shape[0]),
+                             body, buf)
+
+
+_decode_frame_jit = jax.jit(decode_frame_core, static_argnames=("H", "S"))
+
+# Batched over a leading stream axis on every operand (GOP batching: the
+# saturating axis for TPU utilization — BASELINE.md workload constants).
+decode_batch_core = jax.vmap(decode_frame_core,
+                             in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None))
+_decode_batch_jit = jax.jit(decode_batch_core, static_argnames=("H", "S"))
 
 
 class JaxVideoDecoder:
@@ -343,7 +396,8 @@ class JaxVideoDecoder:
         ring = jnp.roll(self.ring, 1, axis=0)
         buf = _decode_frame_jit(ring, arrays["mc"], arrays["resid"],
                                 arrays["resid_coef"], arrays["iops"],
-                                arrays["icoef"], arrays["seqmap"], H, S)
+                                arrays["icoef"], arrays["seqmap"],
+                                arrays["n_levels"], H, S)
         self.ring = ring.at[0].set(buf)
         out = np.asarray(buf).astype(np.uint8)
         return out[:H], out[H:]

@@ -133,3 +133,86 @@ def transcode(path: str | Path, out_prefix: str | Path,
                 "audio": bool(pcm_parts), "width": h.width,
                 "height": h.height}
     raise ValueError("unrecognized container signature")
+
+
+def decode_moflex(data: bytes, engine: str = "oracle",
+                  video_stream: int | None = None):
+    """Decode a Moflex container (video + audio streams; Form1.cs:510-633
+    consumption policy).  Yields DecodedFrame for video frames; audio PCM is
+    attached to the most recent video frame boundary (interleaved int16)."""
+    from ..containers.moflex import (AudioStream, MoflexDemuxer, VideoStream,
+                                     VideoStreamWithLayout)
+
+    state = {"dec": None, "S": 0, "W": 0, "H": 0, "vid": video_stream,
+             "idx": 0}
+    out_frames: list[DecodedFrame] = []
+    pcm_pending: list[np.ndarray] = []
+
+    def on_frame(chunk, payload: bytes) -> None:
+        if isinstance(chunk, (VideoStream, VideoStreamWithLayout)):
+            if state["vid"] is None:
+                state["vid"] = chunk.stream_index
+            if chunk.stream_index != state["vid"]:
+                return
+            if state["dec"] is None:
+                state["W"], state["H"] = chunk.width, chunk.height
+                state["dec"] = _make_video_decoder(
+                    chunk.width, chunk.height, MobiclipVersion.MOFLEX_3DS,
+                    engine)
+                state["S"] = state["dec"].stride
+            dec = state["dec"]
+            if isinstance(dec, OracleDecoder):
+                dec.data = payload
+                dec.offset = 0
+                dec.decode_frame()
+                y = dec.y_planes[0].reshape(-1, state["S"])
+                uv = dec.uv_planes[0].reshape(-1, state["S"])
+            else:
+                y, uv = dec.decode_frame(payload)
+            W, H, S = state["W"], state["H"], state["S"]
+            pcm = (np.concatenate(pcm_pending) if pcm_pending else None)
+            pcm_pending.clear()
+            out_frames.append(DecodedFrame(
+                index=state["idx"], y=y[:H, :W].copy(),
+                u=uv[:H // 2, :W // 2].copy(),
+                v=uv[:H // 2, S // 2:S // 2 + W // 2].copy(),
+                keyframe=False, pcm=pcm))
+            state["idx"] += 1
+        elif isinstance(chunk, AudioStream):
+            ch = chunk.channels
+            if chunk.codec_id == 1:  # IMA ADPCM (Form1.cs:601-630)
+                decs = [ImaAdpcmDecoder() for _ in range(ch)]
+                for i in range(ch):
+                    decs[i].decode(payload, 4 * i, 4)
+                chans: list[list[np.ndarray]] = [[] for _ in range(ch)]
+                off = 4 * ch
+                while off + 128 * ch < len(payload):
+                    for i in range(ch):
+                        chans[i].append(decs[i].decode(payload, off, 128))
+                        off += 128
+                arrs = [np.concatenate(c) if c else np.empty(0, np.int16)
+                        for c in chans]
+                pcm_pending.append(rawio.interleave_channels(arrs))
+            elif chunk.codec_id == 2:  # PCM16 (Form1.cs:631-633)
+                n = len(payload) - (len(payload) % (ch * 2))
+                pcm_pending.append(
+                    np.frombuffer(payload[:n], dtype="<i2").copy())
+            # codec 0 (FastAudio) wired once models/audio_fastaudio.py lands
+
+    dm = MoflexDemuxer(data, on_frame=on_frame)
+    stall = 0
+    last_pos = -1
+    while True:
+        r = dm.read_packet()
+        for fr in out_frames:
+            yield fr
+        out_frames.clear()
+        if r in (1, 0x80):
+            break
+        if dm.position == last_pos:
+            stall += 1
+            if stall > 2:
+                break
+        else:
+            stall = 0
+        last_pos = dm.position
