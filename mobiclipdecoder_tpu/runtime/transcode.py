@@ -15,7 +15,9 @@ from typing import Iterator
 import numpy as np
 
 from ..containers.mods import ModsDemuxer
+from ..models.audio_fastaudio import FastAudioDecoder
 from ..models.audio_ima import ImaAdpcmDecoder
+from ..models.audio_sx import SxDecoder
 from ..models.oracle_video import MobiclipVersion, OracleDecoder
 from ..utils import rawio
 
@@ -49,8 +51,15 @@ def decode_mods(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
     dec = _make_video_decoder(W, H, MobiclipVersion.MODS_DS, engine)
     S = dec.stride if hasattr(dec, "stride") else 256
     nch = h.nb_channel
-    has_audio = h.audio_codec == 3 and nch > 0 and h.frequency > 0
-    adpcm = [ImaAdpcmDecoder() for _ in range(nch)]
+    has_audio = h.audio_codec in (1, 2, 3) and nch > 0 and h.frequency > 0
+
+    def _fresh_decoders():
+        return ([ImaAdpcmDecoder() for _ in range(nch)],
+                [SxDecoder() for _ in range(nch)],
+                [FastAudioDecoder() for _ in range(nch)],
+                [False] * nch)
+
+    adpcm, sxd, fad, sx_init = _fresh_decoders()
     queues: list[list[np.ndarray]] = [[] for _ in range(nch)]
     cur_channel = 0
     frame_idx = 0
@@ -77,14 +86,31 @@ def decode_mods(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
             if h.tag_id == 0x334E and len(pkt) >= 2 \
                     and (pkt[0] | (pkt[1] << 8)) & 0x8000:
                 off += 4
-            if is_key:
-                adpcm = [ImaAdpcmDecoder() for _ in range(nch)]
+            if is_key and h.audio_codec == 3:
+                # IMA resets at keyframes (Program.cs:255-265)
+                adpcm, sxd, fad, sx_init = _fresh_decoders()
                 queues = [[] for _ in range(nch)]
             for _ in range(n_audio):
-                d = adpcm[cur_channel]
-                ln = 128 + (0 if d.is_init else 4)
-                queues[cur_channel].append(d.decode(pkt, off, ln))
-                off += ln
+                if h.audio_codec == 3:          # IMA ADPCM
+                    d = adpcm[cur_channel]
+                    ln = 128 + (0 if d.is_init else 4)
+                    queues[cur_channel].append(d.decode(pkt, off, ln))
+                    off += ln
+                elif h.audio_codec == 1:        # Sx (Program.cs:277-287)
+                    s = sxd[cur_channel]
+                    if not sx_init[cur_channel]:
+                        s.codebook = dm.audio_codebooks[cur_channel]
+                        sx_init[cur_channel] = True
+                    s.data = pkt
+                    s.offset = off
+                    queues[cur_channel].append(s.decode())
+                    off = s.offset
+                elif h.audio_codec == 2:        # FastAudio (Program.cs:289-300)
+                    f = fad[cur_channel]
+                    f.data = pkt
+                    f.offset = off
+                    queues[cur_channel].append(f.decode())
+                    off = f.offset
                 cur_channel = (cur_channel + 1) % nch
             smallest = min((sum(len(a) for a in q) for q in queues),
                            default=0)
@@ -197,7 +223,21 @@ def decode_moflex(data: bytes, engine: str = "oracle",
                 n = len(payload) - (len(payload) % (ch * 2))
                 pcm_pending.append(
                     np.frombuffer(payload[:n], dtype="<i2").copy())
-            # codec 0 (FastAudio) wired once models/audio_fastaudio.py lands
+            elif chunk.codec_id == 0:  # FastAudio (Form1.cs:561-599)
+                key = ("fad", chunk.stream_index)
+                decs = state.setdefault(key, [FastAudioDecoder()
+                                              for _ in range(ch)])
+                chans2: list[list[np.ndarray]] = [[] for _ in range(ch)]
+                off = 0
+                while off + 40 < len(payload):
+                    for i in range(ch):
+                        decs[i].data = payload
+                        decs[i].offset = off
+                        chans2[i].append(decs[i].decode())
+                        off = decs[i].offset
+                arrs = [np.concatenate(c) if c else np.empty(0, np.int16)
+                        for c in chans2]
+                pcm_pending.append(rawio.interleave_channels(arrs))
 
     dm = MoflexDemuxer(data, on_frame=on_frame)
     stall = 0

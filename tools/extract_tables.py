@@ -25,7 +25,8 @@ OUT = Path(__file__).resolve().parent.parent / "mobiclipdecoder_tpu" / "tables" 
 
 
 def parse_csharp_array(src: str, name: str) -> np.ndarray:
-    """Parse a 1-D C# array initializer `T[] name = { ... };` into int64 array."""
+    """Parse a 1-D C# array initializer `T[] name = { ... };` into int64 array
+    (handles negative hex/decimal literals)."""
     m = re.search(
         r"(?:ushort|byte|int|uint)\[\]\s+" + re.escape(name) + r"\s*=\s*\{(.*?)\};",
         src,
@@ -34,7 +35,8 @@ def parse_csharp_array(src: str, name: str) -> np.ndarray:
     if m is None:
         raise KeyError(f"array {name} not found")
     body = m.group(1)
-    vals = [int(tok, 0) for tok in re.findall(r"0x[0-9A-Fa-f]+|\d+", body)]
+    vals = [int(tok.replace(" ", ""), 0)
+            for tok in re.findall(r"-?\s*0x[0-9A-Fa-f]+|-?\d+", body)]
     return np.array(vals, dtype=np.int64)
 
 
@@ -77,6 +79,18 @@ def main() -> None:
     t["raster_to_scan4"] = parse_csharp_array(const_src, "ZigZagTable4x4").astype(np.uint8)
     # encoder-side inverse coefficient VLC ([level-class][run][2] -> code info)
     t["coef_vlc0_inv"] = parse_csharp_array3(const_src, "VxTable0_A_Ref")
+
+    # --- FastAudio codec tables (LibMobiclip/Codec/FastAudio/
+    #     FastAudioDecoder.cs:74-128, 313-379) ------------------------------
+    fa_src = (REF.parent / "FastAudio" / "FastAudioDecoder.cs").read_text()
+    t["fa_lpc_q0"] = parse_csharp_array(fa_src, "dword_9C8")
+    t["fa_lpc_q1"] = parse_csharp_array(fa_src, "dword_AC8")
+    t["fa_lpc_q2"] = parse_csharp_array(fa_src, "dword_B48")
+    t["fa_lpc_q3"] = parse_csharp_array(fa_src, "dword_BC8")
+    t["fa_lpc_q4"] = parse_csharp_array(fa_src, "dword_C08")
+    t["fa_lpc_q5"] = parse_csharp_array(fa_src, "dword_C28")
+    t["fa_lpc_q6"] = parse_csharp_array(fa_src, "dword_11B4")
+    t["fa_pulse"] = parse_csharp_array(fa_src, "dword_1570")
 
     # --- quantizer matrices (MobiclipDecoder.cs:3800-3880) -----------------
     t["qscale8"] = parse_csharp_array(dec_src, "byte_118DD4").astype(np.uint8).reshape(6, 64)
