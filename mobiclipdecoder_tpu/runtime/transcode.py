@@ -135,8 +135,58 @@ def decode_mods(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
 def transcode(path: str | Path, out_prefix: str | Path,
               engine: str = "oracle") -> dict:
     """File -> <prefix>.y4m (+ <prefix>.wav when the container carries audio).
-    Returns summary stats."""
+    Signature-based container dispatch like the reference apps
+    (Form1.cs:193-224).  Returns summary stats."""
     data = Path(path).read_bytes()
+
+    def _write(frames, name, width, height, fps, freq=0, nch=1):
+        y4m = rawio.Y4MWriter(str(out_prefix) + ".y4m", width, height, fps)
+        pcm_parts = []
+        n = 0
+        for fr in frames:
+            y4m.add_frame(fr.y, fr.u, fr.v)
+            if fr.pcm is not None:
+                pcm_parts.append(fr.pcm)
+            n += 1
+        y4m.close()
+        if pcm_parts and freq:
+            rawio.write_wav(str(out_prefix) + ".wav",
+                            np.concatenate(pcm_parts), freq, nch)
+        return {"container": name, "frames": n, "audio": bool(pcm_parts),
+                "width": width, "height": height}
+
+    if data[:4] == b"MOC5":
+        from ..containers.moc5 import Moc5Header
+        h = Moc5Header.parse(data)
+        return _write(decode_moc5(data, engine=engine), "moc5",
+                      h.width, h.height, h.fps)
+    if str(path).endswith(".vx2"):
+        from ..containers.vx import VX2_HEIGHT, VX2_WIDTH
+        return _write(decode_vx2(data, engine=engine), "vx2",
+                      VX2_WIDTH, VX2_HEIGHT, 20.0, freq=32768, nch=1)
+    if data[:2] == b"\x4c\x32":
+        from ..containers.moflex import MoflexDemuxer, VideoStream, \
+            VideoStreamWithLayout, AudioStream
+        # probe stream declarations for geometry/fps/audio params
+        info = {}
+
+        def probe(chunk, _):
+            if isinstance(chunk, (VideoStream, VideoStreamWithLayout)) \
+                    and "w" not in info:
+                info.update(w=chunk.width, h=chunk.height,
+                            fps=chunk.fps_rate / max(chunk.fps_scale, 1))
+            if isinstance(chunk, AudioStream) and "freq" not in info:
+                info.update(freq=chunk.frequency, nch=chunk.channels)
+        dm = MoflexDemuxer(data, on_frame=probe)
+        dm.read_packet()
+        dm.read_packet()
+        if "w" not in info:
+            for _, (chunk, _b) in dm.streams.items():
+                probe(chunk, b"")
+        return _write(decode_moflex(data, engine=engine), "moflex",
+                      info.get("w", 256), info.get("h", 192),
+                      info.get("fps", 24.0), freq=info.get("freq", 0),
+                      nch=info.get("nch", 1))
     if data[:4] == b"MODS":
         dm = ModsDemuxer(data)
         h = dm.header
@@ -256,3 +306,54 @@ def decode_moflex(data: bytes, engine: str = "oracle",
         else:
             stall = 0
         last_pos = dm.position
+
+
+def decode_moc5(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
+    """Decode a MOC5 (Wii) container: video-only, Moflex3DS codec profile
+    (Form1.cs:282-320; audio format unknown upstream, README.md:14)."""
+    from ..containers.moc5 import Moc5Demuxer
+    dm = Moc5Demuxer(data)
+    h = dm.header
+    dec = _make_video_decoder(h.width, h.height, MobiclipVersion.MOFLEX_3DS,
+                              engine)
+    S = dec.stride
+    for i, pkt in enumerate(dm.frames()):
+        if isinstance(dec, OracleDecoder):
+            dec.data = pkt
+            dec.offset = 0
+            dec.decode_frame()
+            y = dec.y_planes[0].reshape(-1, S)
+            uv = dec.uv_planes[0].reshape(-1, S)
+        else:
+            y, uv = dec.decode_frame(pkt)
+        yield DecodedFrame(
+            index=i, y=y[:h.height, :h.width].copy(),
+            u=uv[:h.height // 2, :h.width // 2].copy(),
+            v=uv[:h.height // 2, S // 2:S // 2 + h.width // 2].copy(),
+            keyframe=(i == 0), pcm=None)
+
+
+def decode_vx2(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
+    """Decode a raw VX2 stream: 256x192 Moflex3DS-profile video with
+    interleaved raw mono PCM16 chunks (Program.cs:367-438)."""
+    from ..containers.vx import VX2_HEIGHT, VX2_WIDTH, Vx2Demuxer
+    dm = Vx2Demuxer(data)
+    dec = _make_video_decoder(VX2_WIDTH, VX2_HEIGHT,
+                              MobiclipVersion.MOFLEX_3DS, engine)
+    S = dec.stride
+    for i, (pkt, pcm) in enumerate(dm.frames()):
+        if isinstance(dec, OracleDecoder):
+            dec.data = pkt
+            dec.offset = 0
+            dec.decode_frame()
+            y = dec.y_planes[0].reshape(-1, S)
+            uv = dec.uv_planes[0].reshape(-1, S)
+        else:
+            y, uv = dec.decode_frame(pkt)
+        yield DecodedFrame(
+            index=i, y=y[:VX2_HEIGHT, :VX2_WIDTH].copy(),
+            u=uv[:VX2_HEIGHT // 2, :VX2_WIDTH // 2].copy(),
+            v=uv[:VX2_HEIGHT // 2, S // 2:S // 2 + VX2_WIDTH // 2].copy(),
+            keyframe=(i == 0),
+            pcm=(np.frombuffer(pcm, dtype="<i2").copy()
+                 if pcm is not None else None))
