@@ -1,0 +1,684 @@
+// Native Mobiclip frame scanner + planner.
+//
+// C++ twin of the host-side entropy scan (models/oracle_video.py parse path)
+// and plan assembly (models/plan.py): parses one frame packet into the flat
+// FramePlan arrays the JAX engine consumes — MC leaves, inter residual
+// blocks, dependency-leveled intra ops, and the first-write sequence maps.
+// Bit-for-bit identical plans to the Python planner (tests/test_native.py);
+// ~20x faster, which keeps a batched TPU fed from a handful of host cores.
+//
+// Semantics are the reference decoder's (file:line cites are to
+// /root/reference/LibMobiclip/Codec/Mobiclip/MobiclipDecoder.cs); table data
+// arrives as a packed blob from mobiclipdecoder_tpu/tables (see
+// utils/native.py for the layout).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+namespace {
+
+struct Tables {
+  std::vector<int32_t> coef_a[2], coef_b[2];
+  std::vector<int32_t> scan8, scan4;
+  std::vector<int32_t> qscale8, qscale4, qp_div6, qp_mod6;
+  std::vector<int32_t> cbp_intra, cbp_inter, cbp_split8, cbp_sub4;
+  // per block-size (16 kinds) per profile (0 = moflex, 1 = mods)
+  int32_t pb_peek[16][2];
+  std::vector<int32_t> pb_mode[16][2], pb_bits[16][2];
+};
+
+// block-size order shared with utils/native.py
+static const int kSizes[16][2] = {
+    {16, 16}, {8, 16}, {4, 16}, {2, 16}, {16, 8}, {16, 4}, {16, 2}, {8, 8},
+    {8, 4},   {8, 2},  {4, 8},  {4, 4},  {4, 2},  {2, 8},  {2, 4},  {2, 2}};
+
+int size_index(int w, int h) {
+  for (int i = 0; i < 16; i++)
+    if (kSizes[i][0] == w && kSizes[i][1] == h) return i;
+  return -1;
+}
+
+struct PlanSink {
+  // caller-provided output buffers
+  int32_t *mc;        int mc_cap,    mc_n = 0;     // (cap, 7)
+  int32_t *resid;     int resid_cap, resid_n = 0;  // (cap, 4)
+  int32_t *resid_coef;                             // (cap, 64)
+  int32_t *intra;     int intra_cap, intra_n = 0;  // (cap, 11)
+  int32_t *intra_coef;                             // (cap, 64)
+  int32_t *seq_y;     // (H/4, S/4)
+  int32_t *seq_uv;    // (H/8, S/4)
+  std::vector<int32_t> lvl_y, lvl_uv;
+  int n_levels = 0;
+  int seq = 0;  // running op sequence
+  bool overflow = false;
+};
+
+struct Scanner {
+  Tables t;
+  int width, height, stride, version;  // version: 1 = ModsDS, 2 = Moflex3DS
+  uint32_t quantizer = 0;
+  uint32_t yuv_format = 0;
+  uint32_t internal[392];  // packed dequant entries + table select + MV cache
+  uint8_t imode[40];
+
+  // bitstream state
+  const uint8_t *data; int len; int offset;
+  uint32_t r3; int nb;
+
+  PlanSink *sink = nullptr;
+
+  // ---------------------------------------------------------------- bits
+  void fill() {  // FillBits (:2988)
+    if (offset >= len) return;
+    // mirror C# ReadU16LE's exception on an odd tail by just not refilling
+    if (offset + 1 >= len) { offset = len; return; }
+    uint32_t w = data[offset] | (data[offset + 1] << 8);
+    offset += 2;
+    nb += 16;
+    r3 |= w << ((16 - nb) & 31);
+  }
+  void adv(int n) { r3 <<= n; nb -= n; if (nb < 0) fill(); }
+  uint32_t bit() { uint32_t b = r3 >> 31; adv(1); return b; }
+  static int clz(uint32_t v) {
+    int n = 32; while (v) { v >>= 1; n--; } return n;
+  }
+  uint32_t varint_u() {  // ReadVarIntUnsigned (:2970)
+    int n = clz(r3);
+    uint32_t v = r3 << (n & 31);
+    v <<= 1;
+    int sh = 32 - n;
+    uint32_t val = (sh == 32) ? 0 : (v >> sh);
+    val += (uint32_t(1) << (n & 31)) - 1;
+    r3 = v << (n & 31);
+    nb -= 2 * n + 1;
+    if (nb < 0) fill();
+    return val;
+  }
+  int32_t varint_s() {  // ReadVarIntSigned (:2998)
+    int n = clz(r3);
+    uint32_t v = r3 << (n & 31);
+    v <<= 1;
+    int sh = 32 - n;
+    int64_t val = (sh == 32) ? 0 : (v >> sh);
+    val += int64_t(1) << (n & 31);
+    if (val & 1) val = 1 - val;
+    val >>= 1;
+    r3 = v << (n & 31);
+    nb -= 2 * n + 1;
+    if (nb < 0) fill();
+    return int32_t(val);
+  }
+
+  // ----------------------------------------------------------- quantizer
+  void setup_quant(uint32_t q) {  // SetupQuantizationTables (:3884)
+    if (version == 2) { if (q < 0xC) q = 0xC; if (q > 0x34) q = 0x34; }
+    quantizer = q;
+    if (q >= 54) { sink->overflow = true; q = 53; }
+    int sh4 = t.qp_div6[q] + 8;
+    int mod = t.qp_mod6[q];
+    for (int i = 0; i < 16; i++)
+      internal[74 + i] = uint32_t(t.scan4[i]) |
+                         (uint32_t(t.qscale4[mod * 16 + i]) << sh4);
+    int sh8 = sh4 - 2;
+    for (int i = 0; i < 64; i++)
+      internal[10 + i] = uint32_t(t.scan8[i]) |
+                         (uint32_t(t.qscale8[mod * 64 + i]) << sh8);
+    static const int borders[8] = {1, 2, 3, 4, 8, 0x10, 0x18, 0x20};
+    for (int b : borders) imode[b] = 9;
+  }
+
+  // -------------------------------------------------------- plan helpers
+  void mark(int32_t *map, int cols, int y, int x, int h, int w) {
+    for (int r = y / 4; r < (y + h + 3) / 4; r++)
+      for (int c = x / 4; c < (x + w + 3) / 4; c++)
+        if (map[r * cols + c] < 0) map[r * cols + c] = sink->seq;
+  }
+  void set_level(std::vector<int32_t> &map, int cols, int y, int x, int h,
+                 int w, int level) {
+    for (int r = y / 4; r < (y + h + 3) / 4; r++)
+      for (int c = x / 4; c < (x + w + 3) / 4; c++)
+        map[r * cols + c] = level;
+  }
+
+  void record_mc(int w, int h, int ref, int dx, int dy, int off) {
+    int S = stride;
+    int y = off / S, x = off % S;
+    if (sink->mc_n < sink->mc_cap) {
+      int32_t *r = sink->mc + sink->mc_n * 7;
+      r[0] = y; r[1] = x; r[2] = w; r[3] = h; r[4] = ref; r[5] = dx; r[6] = dy;
+      sink->mc_n++;
+    } else sink->overflow = true;
+    int cols = S / 4;
+    mark(sink->seq_y, cols, y, x, h, w);
+    int cy = y / 2, cxu = x / 2;
+    int cw = w / 2 ? w / 2 : 1, ch = h / 2 ? h / 2 : 1;
+    mark(sink->seq_uv, cols, cy, cxu, ch, cw);
+    mark(sink->seq_uv, cols, cy, cxu + S / 2, ch, cw);
+    sink->seq++;
+  }
+
+  void record_resid(int pid, int off, int size, const int32_t *dense) {
+    int S = stride;
+    int y = off / S, x = off % S;
+    if (sink->resid_n < sink->resid_cap) {
+      int32_t *r = sink->resid + sink->resid_n * 4;
+      r[0] = pid; r[1] = y; r[2] = x; r[3] = size;
+      int32_t *c = sink->resid_coef + sink->resid_n * 64;
+      memset(c, 0, 64 * 4);
+      memcpy(c, dense, size * size * 4);
+      sink->resid_n++;
+    } else sink->overflow = true;
+    int cols = S / 4;
+    mark(pid ? sink->seq_uv : sink->seq_y, cols, y, x, size, size);
+    sink->seq++;
+  }
+
+  void record_intra(int pid, int off, int size, int mode, int grad,
+                    int has_coef, const int32_t *dense) {
+    int S = stride, cols = S / 4;
+    int y = off / S, x = off % S;
+    int32_t *smap = pid ? sink->seq_uv : sink->seq_y;
+    std::vector<int32_t> &lmap = pid ? sink->lvl_uv : sink->lvl_y;
+    int ph = pid ? height / 2 : height;
+    int half = (pid == 1 && x >= S / 2) ? S / 2 : 0;
+    int avail_l = (x - half) != 0;
+    int avail_t = y != 0;
+    // dependency level over the conservative tap-cell superset
+    int level = 1;
+    auto consider = [&](int r, int c) {
+      if (r < 0 || c < 0 || r * cols + c >= int(lmap.size())) return;
+      int32_t s = smap[r * cols + c];
+      if (s >= 0 && s < sink->seq) {
+        int lv = lmap[r * cols + c] + 1;
+        if (lv > level) level = lv;
+      }
+    };
+    if (y > 0) {
+      int x0 = x - 4 > 0 ? x - 4 : 0;
+      int x1 = x + 2 * size < S ? x + 2 * size : S;
+      for (int c = x0 / 4; c < (x1 + 3) / 4; c++) consider((y - 1) / 4, c);
+    }
+    if (x > 0) {
+      int y1 = y + size < ph ? y + size : ph;
+      for (int r = y / 4; r < (y1 + 3) / 4; r++) consider(r, (x - 1) / 4);
+    }
+    if (mode == 9 || mode == 19) {
+      for (int r = y / 4; r < (y + size + 3) / 4; r++)
+        for (int c = x / 4; c < (x + size + 3) / 4; c++) consider(r, c);
+    }
+    if (sink->intra_n < sink->intra_cap) {
+      int32_t *r = sink->intra + sink->intra_n * 11;
+      r[0] = pid; r[1] = y; r[2] = x; r[3] = size; r[4] = mode; r[5] = grad;
+      r[6] = has_coef; r[7] = avail_t; r[8] = avail_l; r[9] = level;
+      r[10] = sink->seq;
+      int32_t *c = sink->intra_coef + sink->intra_n * 64;
+      memset(c, 0, 64 * 4);
+      if (has_coef) memcpy(c, dense, size * size * 4);
+      sink->intra_n++;
+    } else sink->overflow = true;
+    mark(smap, cols, y, x, size, size);
+    set_level(lmap, cols, y, x, size, size, level);
+    if (level > sink->n_levels) sink->n_levels = level;
+    sink->seq++;
+  }
+
+  // ----------------------------------------------------------- residuals
+  // returns last scan cursor; fills dense[n*n]
+  int read_dct(int n, int32_t *dense) {  // ReadDCTMatrix (:3330)
+    memset(dense, 0, n * n * 4);
+    const std::vector<int32_t> &ta = t.coef_a[internal[218] & 1];
+    const std::vector<int32_t> &tb = t.coef_b[internal[218] & 1];
+    int r12 = (n == 8) ? 10 : 74;
+    while (true) {
+      int end = 0, skip = 0;
+      int32_t value = 0;
+      if ((r3 >> 25) == 3) {
+        r3 <<= 7;
+        uint32_t c1 = r3 >> 31;
+        r3 <<= 1;
+        if (!c1) {
+          nb -= 8; if (nb < 0) fill();
+          int e = ta[r3 >> 20];
+          int nbits = e & 0xF;
+          value = ((e >> 4) & 0x1F) + tb[(e >> 9)];
+          end = (e >> 15) & 1;
+          skip = (e >> 10) & 0x3F;
+          r3 <<= (nbits - 1);
+          if (r3 >> 31) value = -value;
+          r3 <<= 1;
+          nb -= nbits; if (nb < 0) fill();
+        } else {
+          uint32_t c2 = r3 >> 31;
+          r3 <<= 1;
+          if (!c2) {
+            nb -= 9; if (nb < 0) fill();
+            int e = ta[r3 >> 20];
+            int nbits = e & 0xF;
+            value = (e >> 4) & 0x1F;
+            int run = (e >> 10) & 0x3F;
+            end = (e >> 15) & 1;
+            skip = run + tb[0x80 + value + (end << 6)];
+            r3 <<= (nbits - 1);
+            if (r3 >> 31) value = -value;
+            r3 <<= 1;
+            nb -= nbits; if (nb < 0) fill();
+          } else {
+            nb -= 9; if (nb < 0) fill();
+            end = r3 >> 31;
+            r3 <<= 1;
+            skip = r3 >> 26;
+            r3 <<= 6;
+            nb -= 7; if (nb < 0) fill();
+            value = int32_t(r3) >> 20;
+            r3 <<= 12;
+            nb -= 12; if (nb < 0) fill();
+          }
+        }
+      } else {
+        int e = ta[r3 >> 20];
+        int nbits = e & 0xF;
+        value = (e >> 4) & 0x1F;
+        end = (e >> 15) & 1;
+        skip = (e >> 10) & 0x3F;
+        r3 <<= (nbits - 1);
+        if (r3 >> 31) value = -value;
+        r3 <<= 1;
+        nb -= nbits; if (nb < 0) fill();
+      }
+      r12 += skip;
+      if (r12 < 0 || r12 >= 392) { sink->overflow = true; return r12; }
+      uint32_t packed = internal[r12++];
+      int pos = packed & 0xFF;
+      int32_t scale = int32_t(packed >> 8);
+      if (pos < n * n) dense[pos] = scale * value;
+      if (end) return r12;
+    }
+  }
+
+  // ------------------------------------------------------------ intra MBs
+  int predicted_mode(int r5, uint32_t peek4, int *consumed) {
+    int pred = imode[r5 - 8];
+    int left = imode[r5 - 1];
+    if (pred > left) pred = left;
+    if (pred == 9) pred = 3;
+    int v = int(peek4);
+    if (v >= pred) v++;
+    if (v < 9) { *consumed = 4; return v; }
+    *consumed = 1;
+    return pred;
+  }
+
+  int gradient_for(int mode) {
+    if (mode == 2 || mode == 12) return varint_s();
+    return 0;
+  }
+  bool has_gradient(int mode) { return mode == 2 || mode == 12; }
+
+  void intra8_predicted_mode(int r5, int pid, int off) {  // loc_116220
+    int consumed;
+    int mode = predicted_mode(r5, r3 >> 28, &consumed);
+    imode[r5] = imode[r5 + 1] = imode[r5 + 8] = imode[r5 + 9] = mode;
+    adv(consumed);
+    int g = gradient_for(mode);
+    record_intra(pid, off, 8, mode, g, 0, nullptr);
+  }
+
+  void intra_sub8(int r5, int pid, int off) {  // loc_116368 (:2776)
+    int S = stride;
+    int32_t dense[64];
+    if (r3 >> 31) {
+      r3 <<= 1; nb -= 1;  // no refill check, per reference
+      int consumed;
+      int mode = predicted_mode(r5, r3 >> 28, &consumed);
+      adv(consumed);
+      imode[r5] = imode[r5 + 1] = imode[r5 + 8] = imode[r5 + 9] = mode;
+      int g = gradient_for(mode);
+      read_dct(8, dense);
+      record_intra(pid, off, 8, mode, g, 1, dense);
+    } else {
+      uint32_t ci = varint_u();
+      if (ci >= t.cbp_split8.size()) { sink->overflow = true; return; }
+      int cbp = t.cbp_split8[ci];
+      static const int dr5s[4] = {0, 1, 8, 9};
+      const int doffs[4] = {0, 4, S * 4, S * 4 + 4};
+      for (int b = 0; b < 4; b++) {
+        int consumed;
+        int mode = predicted_mode(r5 + dr5s[b], r3 >> 28, &consumed);
+        imode[r5 + dr5s[b]] = mode;
+        adv(consumed);
+        mode += 0xA;
+        int g = gradient_for(mode);
+        int has = (cbp >> b) & 1;
+        if (has) read_dct(4, dense);
+        record_intra(pid, off + doffs[b], 4, mode, g, has,
+                     has ? dense : nullptr);
+      }
+    }
+  }
+
+  void intra8_with_residual(int pid, int off, int mode) {  // sub_116508
+    int S = stride;
+    int32_t dense[64];
+    if (r3 >> 31) {
+      r3 <<= 1; nb -= 1;
+      int g = gradient_for(mode);
+      read_dct(8, dense);
+      record_intra(pid, off, 8, mode, g, 1, dense);
+    } else {
+      int mode4 = mode + 0xA;
+      uint32_t ci = varint_u();
+      if (ci >= t.cbp_split8.size()) { sink->overflow = true; return; }
+      int cbp = t.cbp_split8[ci];
+      const int doffs[4] = {0, 4, S * 4, S * 4 + 4};
+      for (int b = 0; b < 4; b++) {
+        int g = gradient_for(mode4);
+        int has = (cbp >> b) & 1;
+        if (has) read_dct(4, dense);
+        record_intra(pid, off + doffs[b], 4, mode4, g, has,
+                     has ? dense : nullptr);
+      }
+    }
+  }
+
+  void intra_chroma(int cbp, int off) {  // loc_116290 (:1864)
+    int S = stride;
+    uint32_t mode = r3 >> 29;
+    adv(3);
+    if (mode == 2) {
+      mode = 9;
+      record_intra(1, off / 2, 8, 2, varint_s(), 0, nullptr);
+      record_intra(1, off / 2 + S / 2, 8, 2, varint_s(), 0, nullptr);
+    }
+    const int coffs[2] = {off / 2, off / 2 + S / 2};
+    for (int i = 0; i < 2; i++) {
+      if ((cbp >> (4 + i)) & 1) intra8_with_residual(1, coffs[i], mode);
+      else record_intra(1, coffs[i], 8, mode, 0, 0, nullptr);
+    }
+  }
+
+  void dec_intra_full_mb(int off) {  // DecIntraFullBlockPMode (:1759)
+    int S = stride;
+    uint32_t ci = varint_u();
+    if (ci >= t.cbp_intra.size()) { sink->overflow = true; return; }
+    int cbp = t.cbp_intra[ci];
+    uint32_t mode = r3 >> 29;
+    adv(3);
+    if (mode == 2) {
+      mode = 9;
+      record_intra(0, off, 16, 2, varint_s(), 0, nullptr);
+    }
+    const int doffs[4] = {0, 8, S * 8, S * 8 + 8};
+    for (int b = 0; b < 4; b++) {
+      if ((cbp >> b) & 1) intra8_with_residual(0, off + doffs[b], mode);
+      else record_intra(0, off + doffs[b], 8, mode, 0, 0, nullptr);
+    }
+    intra_chroma(cbp, off);
+  }
+
+  void dec_intra_sub_mb(int off) {  // DecIntraSubBlockPMode (:1789)
+    int S = stride;
+    uint32_t ci = varint_u();
+    if (ci >= t.cbp_intra.size()) { sink->overflow = true; return; }
+    int cbp = t.cbp_intra[ci];
+    static const int r5s[4] = {9, 0xB, 0x19, 0x1B};
+    const int doffs[4] = {0, 8, S * 8, S * 8 + 8};
+    for (int b = 0; b < 4; b++) {
+      if ((cbp >> b) & 1) intra_sub8(r5s[b], 0, off + doffs[b]);
+      else intra8_predicted_mode(r5s[b], 0, off + doffs[b]);
+    }
+    intra_chroma(cbp, off);
+  }
+
+  // ------------------------------------------------------------- P blocks
+  void residual8(int pid, int off) {  // loc_11652C (:2909)
+    int S = stride;
+    int32_t dense[64];
+    if (r3 >> 31) {
+      r3 <<= 1; nb -= 1;
+      int last = read_dct(8, dense);
+      (void)last;
+      record_resid(pid, off, 8, dense);
+    } else {
+      uint32_t ci = varint_u();
+      if (ci >= t.cbp_sub4.size()) { sink->overflow = true; return; }
+      int cbp = t.cbp_sub4[ci];
+      const int doffs[4] = {0, 4, S * 4, S * 4 + 4};
+      for (int b = 0; b < 4; b++)
+        if ((cbp >> b) & 1) {
+          read_dct(4, dense);
+          record_resid(pid, off + doffs[b], 4, dense);
+        }
+    }
+  }
+
+  void residual_mb(int off) {  // loc_1161A0 (:1818)
+    int S = stride;
+    uint32_t ci = varint_u();
+    if (ci >= t.cbp_inter.size()) { sink->overflow = true; return; }
+    int cbp = t.cbp_inter[ci];
+    const int doffs[4] = {0, 8, S * 8, S * 8 + 8};
+    for (int b = 0; b < 4; b++)
+      if ((cbp >> b) & 1) residual8(0, off + doffs[b]);
+    if ((cbp >> 4) & 1) residual8(1, off / 2);
+    if ((cbp >> 5) & 1) residual8(1, off / 2 + S / 2);
+  }
+
+  void mc_leaf(int w, int h, int io, int ref, int dx, int dy, int off) {
+    internal[io] = uint32_t(dx);
+    internal[io + 1] = uint32_t(dy);
+    record_mc(w, h, ref, dx, dy, off);
+  }
+
+  void read_pblock(int w, int h, int io, int off);
+
+  void switch_pblock(int w, int h, int mode, int io, int off) {
+    int S = stride;
+    if (mode == 0) {
+      mc_leaf(w, h, io, 1, int32_t(internal[219]), int32_t(internal[220]),
+              off);
+    } else if (mode >= 1 && mode <= 5) {
+      int dx = varint_s() + int32_t(internal[219]);
+      int dy = varint_s() + int32_t(internal[220]);
+      mc_leaf(w, h, io, mode, dx, dy, off);
+    } else if (mode == 6 && w == 16 && h == 16) {
+      dec_intra_full_mb(off);
+    } else if (mode == 7 && w == 16 && h == 16) {
+      dec_intra_sub_mb(off);
+    } else if (mode == 8 || mode == 9) {
+      // split geometry (_PB_SPLIT in models/oracle_video.py)
+      static const struct { int w, h, m, sw, sh, dmul, dpix; } kSplit[] = {
+          {16, 16, 8, 16, 8, 8, 0},  {16, 16, 9, 8, 16, 0, 8},
+          {8, 16, 8, 8, 8, 8, 0},    {8, 16, 9, 4, 16, 0, 4},
+          {4, 16, 8, 4, 8, 8, 0},    {4, 16, 9, 2, 16, 0, 2},
+          {2, 16, 8, 2, 8, 8, 0},
+          {16, 8, 8, 16, 4, 4, 0},   {16, 8, 9, 8, 8, 0, 8},
+          {16, 4, 8, 16, 2, 2, 0},   {16, 4, 9, 8, 4, 0, 8},
+          {16, 2, 9, 8, 2, 0, 8},
+          {8, 8, 8, 8, 4, 4, 0},     {8, 8, 9, 4, 8, 0, 4},
+          {8, 4, 8, 8, 2, 2, 0},     {8, 4, 9, 4, 4, 0, 4},
+          {8, 2, 9, 4, 2, 0, 4},
+          {4, 8, 8, 4, 4, 4, 0},     {4, 8, 9, 2, 8, 0, 2},
+          {4, 4, 8, 4, 2, 2, 0},     {4, 4, 9, 2, 4, 0, 2},
+          {4, 2, 9, 2, 2, 0, 2},
+          {2, 8, 8, 2, 4, 4, 0},     {2, 4, 8, 2, 2, 2, 0}};
+      bool ok = false;
+      for (const auto &e : kSplit)
+        if (e.w == w && e.h == h && e.m == mode) {
+          read_pblock(e.sw, e.sh, io, off);
+          read_pblock(e.sw, e.sh, io, off + e.dmul * S + e.dpix);
+          ok = true;
+          break;
+        }
+      if (!ok) { sink->overflow = true; return; }
+    } else {
+      sink->overflow = true;  // illegal mode (reference throws)
+      return;
+    }
+    if (w == 16 && h == 16 && mode != 6 && mode != 7) residual_mb(off);
+  }
+
+  // --------------------------------------------------------------- frame
+  int scan(const uint8_t *pkt, int pkt_len) {
+    data = pkt; len = pkt_len; offset = 0;
+    if (len < 2) return -1;
+    r3 = uint32_t(data[0] | (data[1] << 8)) << 16;
+    offset = 2;
+    nb = 0;
+    uint32_t iframe = r3 >> 31;
+    r3 <<= 1;
+    int S = stride;
+    if (!iframe) {
+      nb -= 1; if (nb < 0) fill();
+      if (version == 2) {
+        int32_t dq = varint_s();
+        if (quantizer == 0) setup_quant(0);
+        else if (dq != 0) setup_quant(uint32_t(int64_t(quantizer) + dq));
+      } else {
+        int32_t dq = varint_s();
+        if (dq != 0) setup_quant(uint32_t(int64_t(quantizer) + dq));
+      }
+      internal[218] = 0;
+      int io = 221;
+      for (int w = width + 0x20; w > 0; w -= 16) {
+        internal[io] = internal[io + 1] = 0;
+        io += 2;
+        if (io > 390) break;
+      }
+      int off = 0;
+      for (int my = 0; my < height; my += 16) {
+        io = 221;
+        for (int mx = 0; mx < width; mx += 16) {
+          int32_t v[6];
+          for (int k = 0; k < 6; k++) v[k] = int32_t(internal[io + k]);
+          io += 2;
+          auto med3 = [](int32_t a, int32_t b, int32_t c) {
+            if (a > b) { int32_t t2 = a; a = b; b = t2; }
+            if (b > c) { int32_t t2 = b; b = c; c = t2; }
+            if (a > b) { int32_t t2 = a; a = b; b = t2; }
+            return b;
+          };
+          internal[219] = uint32_t(med3(v[0], v[2], v[4]));
+          internal[220] = uint32_t(med3(v[1], v[3], v[5]));
+          internal[io] = internal[io + 1] = 0;
+          read_pblock(16, 16, io, off);
+          off += 16;
+        }
+        off += S * 16 - width;
+      }
+    } else {
+      yuv_format = r3 >> 31;
+      r3 <<= 1;
+      internal[218] = r3 >> 31;
+      r3 <<= 1;
+      nb -= 3; if (nb < 0) fill();
+      uint32_t q = r3 >> 26;
+      adv(6);
+      if (quantizer != q) setup_quant(q);
+      int off = 0;
+      for (int my = 0; my < height; my += 16) {
+        for (int mx = 0; mx < width; mx += 16) {
+          uint32_t sub = bit();
+          if (sub) dec_intra_sub_mb(off);
+          else dec_intra_full_mb(off);
+          off += 16;
+        }
+        off += S * 16 - width;
+      }
+    }
+    return offset;
+  }
+};
+
+void Scanner::read_pblock(int w, int h, int io, int off) {
+  int si = size_index(w, h);
+  int prof = (version == 2) ? 0 : 1;
+  int peek = t.pb_peek[si][prof];
+  uint32_t idx = r3 >> (32 - peek);
+  int mode = t.pb_mode[si][prof][idx];
+  adv(t.pb_bits[si][prof][mode]);
+  switch_pblock(w, h, mode, io, off);
+}
+
+std::vector<int32_t> read_arr(const uint8_t *&p) {
+  int32_t n;
+  memcpy(&n, p, 4);
+  p += 4;
+  std::vector<int32_t> out(n);
+  memcpy(out.data(), p, n * 4);
+  p += n * 4;
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+void *scanner_create(int width, int height, int version,
+                     const uint8_t *blob, int blob_len) {
+  (void)blob_len;
+  Scanner *s = new Scanner();
+  s->width = width;
+  s->height = height;
+  s->version = version;
+  s->stride = width <= 256 ? 256 : (width <= 512 ? 512 : 1024);
+  memset(s->internal, 0, sizeof(s->internal));
+  memset(s->imode, 0, sizeof(s->imode));
+  const uint8_t *p = blob;
+  Tables &t = s->t;
+  t.coef_a[0] = read_arr(p); t.coef_b[0] = read_arr(p);
+  t.coef_a[1] = read_arr(p); t.coef_b[1] = read_arr(p);
+  t.scan8 = read_arr(p); t.scan4 = read_arr(p);
+  t.qscale8 = read_arr(p); t.qscale4 = read_arr(p);
+  t.qp_div6 = read_arr(p); t.qp_mod6 = read_arr(p);
+  t.cbp_intra = read_arr(p); t.cbp_inter = read_arr(p);
+  t.cbp_split8 = read_arr(p); t.cbp_sub4 = read_arr(p);
+  for (int i = 0; i < 16; i++)
+    for (int prof = 0; prof < 2; prof++) {
+      std::vector<int32_t> pk = read_arr(p);
+      t.pb_peek[i][prof] = pk[0];
+      t.pb_mode[i][prof] = read_arr(p);
+      t.pb_bits[i][prof] = read_arr(p);
+    }
+  return s;
+}
+
+void scanner_destroy(void *ctx) { delete static_cast<Scanner *>(ctx); }
+
+// Returns the consumed byte offset (>= 0) or -1 on error; out_meta gets
+// {mc_n, resid_n, intra_n, n_levels, overflow}.
+int scanner_scan(void *ctx, const uint8_t *pkt, int pkt_len,
+                 int32_t *mc, int mc_cap,
+                 int32_t *resid, int32_t *resid_coef, int resid_cap,
+                 int32_t *intra, int32_t *intra_coef, int intra_cap,
+                 int32_t *seq_y, int32_t *seq_uv, int32_t *out_meta) {
+  Scanner *s = static_cast<Scanner *>(ctx);
+  PlanSink sink;
+  sink.mc = mc; sink.mc_cap = mc_cap;
+  sink.resid = resid; sink.resid_coef = resid_coef; sink.resid_cap = resid_cap;
+  sink.intra = intra; sink.intra_coef = intra_coef; sink.intra_cap = intra_cap;
+  sink.seq_y = seq_y; sink.seq_uv = seq_uv;
+  int cells_y = (s->height / 4) * (s->stride / 4);
+  int cells_uv = (s->height / 8) * (s->stride / 4);
+  for (int i = 0; i < cells_y; i++) seq_y[i] = -1;
+  for (int i = 0; i < cells_uv; i++) seq_uv[i] = -1;
+  sink.lvl_y.assign(cells_y, 0);
+  sink.lvl_uv.assign(cells_uv, 0);
+  s->sink = &sink;
+  int consumed = s->scan(pkt, pkt_len);
+  out_meta[0] = sink.mc_n;
+  out_meta[1] = sink.resid_n;
+  out_meta[2] = sink.intra_n;
+  out_meta[3] = sink.n_levels;
+  out_meta[4] = sink.overflow ? 1 : 0;
+  s->sink = nullptr;
+  return consumed;
+}
+
+// expose/restore decoder-persistent state for GOP seek parity
+void scanner_get_state(void *ctx, uint32_t *quantizer) {
+  *quantizer = static_cast<Scanner *>(ctx)->quantizer;
+}
+
+}  // extern "C"
