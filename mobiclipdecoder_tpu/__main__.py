@@ -16,6 +16,11 @@ def main(argv=None):
     d.add_argument("input")
     d.add_argument("out_prefix")
     d.add_argument("--engine", choices=["oracle", "tpu"], default="tpu")
+    e = sub.add_parser("encode", help="encode a .y4m file to a .moflex")
+    e.add_argument("input")
+    e.add_argument("output")
+    e.add_argument("--qp", type=int, default=0x16)
+    e.add_argument("--gop", type=int, default=30)
     args = p.parse_args(argv)
     if args.cmd == "decode":
         from .runtime.transcode import transcode
@@ -23,6 +28,13 @@ def main(argv=None):
         stats = transcode(args.input, args.out_prefix, engine=args.engine)
         stats["seconds"] = round(time.perf_counter() - t0, 3)
         stats["fps"] = round(stats["frames"] / max(stats["seconds"], 1e-9), 2)
+        print(json.dumps(stats))
+    elif args.cmd == "encode":
+        from .runtime.transcode import encode_y4m_to_moflex
+        t0 = time.perf_counter()
+        stats = encode_y4m_to_moflex(args.input, args.output, qp=args.qp,
+                                     gop=args.gop)
+        stats["seconds"] = round(time.perf_counter() - t0, 3)
         print(json.dumps(stats))
     return 0
 

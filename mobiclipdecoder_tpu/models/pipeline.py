@@ -373,8 +373,19 @@ class JaxVideoDecoder:
     a single jitted program over the plan arrays.
     """
 
-    def __init__(self, width: int, height: int, version: MobiclipVersion):
+    def __init__(self, width: int, height: int, version: MobiclipVersion,
+                 native: bool | None = None):
+        """``native`` selects the C++ scanner (default: use it if a C++
+        toolchain is available; plans are bit-identical either way)."""
         self.planner = PlanningDecoder(width, height, version)
+        self.native = None
+        if native is not False:
+            try:
+                from ..utils.native import NativePlanner
+                self.native = NativePlanner(width, height, int(version))
+            except Exception:
+                if native is True:
+                    raise
         self.width, self.height = width, height
         self.stride = self.planner.stride
         HH = height + height // 2
@@ -382,15 +393,19 @@ class JaxVideoDecoder:
 
     @property
     def offset(self):
-        return self.planner.offset
+        return (self.native.offset if self.native is not None
+                else self.planner.offset)
 
     def decode_frame(self, packet: bytes) -> tuple[np.ndarray, np.ndarray]:
         """Decode one frame packet; returns (Y, UV) uint8 numpy planes of
         shapes (H, S) and (H/2, S)."""
-        self.planner.data = packet
-        self.planner.offset = 0
-        self.planner.decode_frame()
-        plan = self.planner.plan()
+        if self.native is not None:
+            plan = self.native.scan(packet)
+        else:
+            self.planner.data = packet
+            self.planner.offset = 0
+            self.planner.decode_frame()
+            plan = self.planner.plan()
         arrays = prepare_plan(plan)
         H, S = self.height, self.stride
         ring = jnp.roll(self.ring, 1, axis=0)

@@ -74,10 +74,20 @@ class BatchVideoDecoder:
     round (or one per GOP with decode_gop)."""
 
     def __init__(self, width: int, height: int, version: MobiclipVersion,
-                 batch: int, mesh: Mesh | None = None):
+                 batch: int, mesh: Mesh | None = None,
+                 native: bool | None = None):
         self.B = batch
         self.planners = [PlanningDecoder(width, height, version)
                          for _ in range(batch)]
+        self.natives = None
+        if native is not False:
+            try:
+                from ..utils.native import NativePlanner
+                self.natives = [NativePlanner(width, height, int(version))
+                                for _ in range(batch)]
+            except Exception:
+                if native is True:
+                    raise
         self.width, self.height = width, height
         self.stride = self.planners[0].stride
         self.mesh = mesh
@@ -94,11 +104,15 @@ class BatchVideoDecoder:
     def scan_packets(self, packets: list[bytes]) -> dict:
         assert len(packets) == self.B
         prepared = []
-        for planner, pkt in zip(self.planners, packets):
-            planner.data = pkt
-            planner.offset = 0
-            planner.decode_frame()
-            prepared.append(prepare_plan(planner.plan()))
+        if self.natives is not None:
+            for nat, pkt in zip(self.natives, packets):
+                prepared.append(prepare_plan(nat.scan(pkt)))
+        else:
+            for planner, pkt in zip(self.planners, packets):
+                planner.data = pkt
+                planner.offset = 0
+                planner.decode_frame()
+                prepared.append(prepare_plan(planner.plan()))
         return stack_plans(prepared)
 
     def decode_frames(self, packets: list[bytes]) -> np.ndarray:

@@ -357,3 +357,51 @@ def decode_vx2(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
             keyframe=(i == 0),
             pcm=(np.frombuffer(pcm, dtype="<i2").copy()
                  if pcm is not None else None))
+
+
+def read_y4m(path: str | Path):
+    """Minimal YUV4MPEG2 reader (4:2:0): yields (y, u, v) + (W, H, fps)."""
+    data = Path(path).read_bytes()
+    nl = data.index(b"\n")
+    fields = data[:nl].split(b" ")
+    W = H = 0
+    fps = 24.0
+    for f in fields[1:]:
+        if f[:1] == b"W":
+            W = int(f[1:])
+        elif f[:1] == b"H":
+            H = int(f[1:])
+        elif f[:1] == b"F":
+            num, den = f[1:].split(b":")
+            fps = int(num) / int(den)
+    pos = nl + 1
+    frames = []
+    ysz, csz = W * H, (W // 2) * (H // 2)
+    while pos < len(data) and data[pos:pos + 5] == b"FRAME":
+        pos = data.index(b"\n", pos) + 1
+        y = np.frombuffer(data, np.uint8, ysz, pos).reshape(H, W)
+        u = np.frombuffer(data, np.uint8, csz, pos + ysz).reshape(H // 2, W // 2)
+        v = np.frombuffer(data, np.uint8, csz,
+                          pos + ysz + csz).reshape(H // 2, W // 2)
+        frames.append((y, u, v))
+        pos += ysz + 2 * csz
+    return frames, (W, H, fps)
+
+
+def encode_y4m_to_moflex(in_path: str | Path, out_path: str | Path,
+                         qp: int = 0x16, gop: int = 30) -> dict:
+    """Encode a .y4m into a single-video-stream .moflex (the role of
+    MoflexSimpleVideoMuxer, MoflexSimpleVideoMuxer.cs:14-71)."""
+    from ..containers.moflex import MoflexMuxer, VideoStream
+    from ..models.encoder import MobiclipEncoder
+    frames, (W, H, fps) = read_y4m(in_path)
+    enc = MobiclipEncoder(W, H, MobiclipVersion.MOFLEX_3DS,
+                          quantizer=qp, gop=gop)
+    mux = MoflexMuxer([VideoStream(stream_index=0, codec_id=0,
+                                   fps_rate=int(round(fps * 1000)),
+                                   fps_scale=1000, width=W, height=H)])
+    for y, u, v in frames:
+        mux.add_frame(0, enc.encode_frame(y, u, v))
+    Path(out_path).write_bytes(mux.to_bytes())
+    return {"frames": len(frames), "width": W, "height": H,
+            "bytes": Path(out_path).stat().st_size}
