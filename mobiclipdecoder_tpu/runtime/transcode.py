@@ -405,3 +405,27 @@ def encode_y4m_to_moflex(in_path: str | Path, out_path: str | Path,
     Path(out_path).write_bytes(mux.to_bytes())
     return {"frames": len(frames), "width": W, "height": H,
             "bytes": Path(out_path).stat().st_size}
+
+
+def split_stereo(frames, layout):
+    """3D stream handling (Form1.cs:516-535 parity): for the interleaved
+    3D layouts, even/odd frames are left/right eyes; returns (left, right)
+    frame lists.  For Simple2D returns (frames, [])."""
+    from ..containers.moflex import VideoLayout
+    frames = list(frames)
+    if layout in (VideoLayout.INTERLEAVE_3D_LEFT_FIRST,
+                  VideoLayout.INTERLEAVE_3D_RIGHT_FIRST):
+        a = frames[0::2]
+        b = frames[1::2]
+        if layout == VideoLayout.INTERLEAVE_3D_RIGHT_FIRST:
+            a, b = b, a
+        return a, b
+    return frames, []
+
+
+def anaglyph(left_rgb, right_rgb):
+    """Red/cyan anaglyph compositor (Form1.cs:652-675 role): left frame's
+    red channel + right frame's green/blue."""
+    out = right_rgb.copy()
+    out[..., 0] = left_rgb[..., 0]
+    return out
