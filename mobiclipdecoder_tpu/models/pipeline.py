@@ -53,10 +53,13 @@ def _bucket(n: int, buckets: tuple[int, ...]) -> int:
 # Fixed shape buckets: every decode program shape is drawn from this small
 # set, so there are only a handful of programs per frame geometry — compiled
 # once ever thanks to the persistent cache.
+# K (ops per intra level) is capped low: XLA:TPU compile time explodes
+# superlinearly in K (measured: K=16 ~36s, K=128 >9min via the remote
+# compiler); oversized levels are split instead, which is free.
 _MC_BUCKETS = (256, 1024, 4096)
 _RES_BUCKETS = (256, 1024, 4096)
-_K_BUCKETS = (32, 128)
-_L_BUCKETS = (8, 32, 1024)
+_K_BUCKETS = (16, 32)
+_L_BUCKETS = (8, 64, 1024)
 
 
 def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
