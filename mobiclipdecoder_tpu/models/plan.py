@@ -63,6 +63,89 @@ class FramePlan:
     n_levels: int
 
 
+NOP, OP_MC, OP_RESID, OP_INTRA = 0, 1, 2, 3
+_SIZE_LOG = {2: 1, 4: 2, 8: 3, 16: 4}
+
+
+def pack_unified(ops: list[tuple], stride: int, height: int,
+                 mr: int = 8, mcol: int = 8) -> dict:
+    """Pack a decode-order op list into the VMEM executor's flat arrays.
+
+    The sequential VMEM engine (ops/vmem_engine.py) executes ops in the
+    reference's exact decode order, so no sequence maps or dependency levels
+    are needed — "read whatever is in the plane" semantics hold by
+    construction.  Record (int32 x 4):
+
+      w0 = type(2) | size_log(3)<<2 | mode(5)<<5 | has_coef<<10
+           | avail_top<<11 | avail_left<<12 | ref(3)<<13 | w(5)<<16 | h(5)<<21
+      w1 = row | col<<16           (buffer coords, margins included;
+                                    chroma rows offset by height)
+      w2 = (dx&0xFFFF)|(dy&0xFFFF)<<16  for MC; gradient for intra
+      w3 = residual-coefficient row index (0 when unused)
+
+    Intra modes 9/19 (pass-through) are emitted as plain residual ops (their
+    prediction is a no-op); without coefficients they are dropped entirely.
+    """
+    S, H = stride, height
+    rows: list[tuple[int, int, int, int]] = []
+    coefs: list[np.ndarray] = []
+    sizes: list[int] = []
+
+    def coef_row(dense, size) -> int:
+        co = np.zeros(64, np.int32)
+        co[:size * size] = np.asarray(dense, np.int32).ravel()
+        coefs.append(co)
+        sizes.append(size)
+        return len(coefs) - 1
+
+    def emit_resid(pid, y, x, size, dense):
+        k = coef_row(dense, size)
+        w0 = OP_RESID | (_SIZE_LOG[size] << 2)
+        rr = mr + y + (H if pid else 0)
+        rows.append((w0, rr | ((mcol + x) << 16), 0, k))
+
+    for op in ops:
+        kind = op[0]
+        if kind == "mc":
+            _, w, h, ref, dx, dy, off = op
+            y, x = off // S, off % S
+            w0 = (OP_MC | (ref << 13) | (w << 16) | (h << 21))
+            w2 = (dx & 0xFFFF) | ((dy & 0xFFFF) << 16)
+            if w2 >= 1 << 31:
+                w2 -= 1 << 32
+            rows.append((w0, (mr + y) | ((mcol + x) << 16), w2, 0))
+        elif kind == "resid":
+            _, pid, y, x, size, (dense, _last) = op
+            emit_resid(pid, y, x, size, dense)
+        else:  # intra
+            _, pid, y, x, size, mode, grad, cf = op
+            if mode in (9, 19):
+                if cf is not None:
+                    emit_resid(pid, y, x, size, cf[0])
+                continue
+            half = S // 2 if (pid == 1 and x >= S // 2) else 0
+            avl = int((x - half) != 0)
+            avt = int(y != 0)
+            has = int(cf is not None)
+            k = coef_row(cf[0], size) if has else 0
+            w0 = (OP_INTRA | (_SIZE_LOG[size] << 2) | (mode << 5)
+                  | (has << 10) | (avt << 11) | (avl << 12))
+            rr = mr + y + (H if pid else 0)
+            rows.append((w0, rr | ((mcol + x) << 16),
+                         int(grad or 0), k))
+
+    ops_arr = np.zeros((len(rows) + 1, 4), np.int32)
+    ops_arr[0, 0] = len(rows)
+    if rows:
+        ops_arr[1:] = np.array(rows, np.int64).astype(np.int32)
+    return dict(
+        ops=ops_arr,
+        coefs=(np.stack(coefs) if coefs else np.zeros((1, 64), np.int32)),
+        sizes=(np.array(sizes, np.int32) if sizes
+               else np.zeros((1,), np.int32)),
+    )
+
+
 class PlanningDecoder(OracleDecoder):
     """Oracle parse path + op recording (no pixel work).
 
@@ -103,6 +186,10 @@ class PlanningDecoder(OracleDecoder):
     def decode_frame(self, rgb=False):
         self._ops = []
         return super().decode_frame(rgb=False)
+
+    def unified_plan(self) -> dict:
+        """Decode-order op stream for the sequential VMEM engine."""
+        return pack_unified(self._ops, self.stride, self.height)
 
     def plan(self) -> FramePlan:
         S, H, W = self.stride, self.height, self.width

@@ -1,0 +1,568 @@
+"""Single-kernel VMEM reconstruction engine (Pallas TPU).
+
+The whole-frame decode — motion compensation, inter residuals, intra
+prediction — runs as ONE Pallas kernel per (stream-batch x frame) round.  The
+6-slot reference ring and the working frame plane live in VMEM for the whole
+kernel; the unified op stream (models/plan.py pack_unified) is executed
+sequentially in the reference's exact decode order, so the reference's
+"read whatever is in the plane right now" semantics (fresh-plane zeros for
+not-yet-decoded taps, MobiclipDecoder.cs:2368-2471; pass-through residual
+bases) hold by construction — no sequence maps, no wavefront levels, no
+hundreds of full-plane scatter passes like the XLA wavefront engine
+(models/pipeline.py), which this replaces on the hot path.
+
+Hardware mapping notes (probed on TPU v5e via this repo's tunnel):
+  * Dynamic-start vector loads/stores are only safe on <=128-lane arrays and
+    dynamic-offset DMAs crash the Mosaic AOT pipeline — so ALL dynamic plane
+    addressing uses async DMA with dynamic *leading-dim* indices over
+    row-group-major buffers (plane = (rows/8, 8, S_padded)), the same access
+    discipline as paged-attention kernels.
+  * Lane/sublane positioning inside a row-group window uses pltpu.roll with
+    traced shifts.
+  * Tap->pixel selection for the 18 directional intra modes is a one-hot
+    bf16 matmul against LUTs baked from ops/intra_tables.py (exact: taps are
+    <=255, each output row has exactly one nonzero weight).
+  * (1,64)->(8,8) / (1,256)->(16,16) reshapes are not lowerable; they are
+    done as two exact HIGHEST-precision one-hot matmuls.
+
+Integer semantics are bit-exact vs models/oracle_video.py (the executable
+spec of MobiclipDecoder.cs): truncating arithmetic shifts for half-pel
+averaging (CopyBlock :418-456), u32 word-composition byte aliasing in the
+plane predictors (:3017-3327), H.264-style add-clamp (:3551-3558).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .idct import idct4, idct8
+from .intra_tables import AVG2, AVG3, DC, KIND, TAPS
+
+MR = 8       # top margin rows (taps at row -1 read zeros, like fresh planes)
+MCOL = 8     # left margin lanes
+# SMEM charges 128 bytes per scalar (measured: 1 MiB total on v5e), so the
+# op stream is fed in 256-row chunks via a second grid dimension; each chunk
+# carries its own header row with its op count.
+CHUNK = 256
+NOPS_BUCKETS = (768, 3072, 12288)
+NR_BUCKETS = (256, 1024, 4096, 12288)
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _geom(height: int, stride: int) -> tuple[int, int, int]:
+    hh = height + height // 2
+    hhp = hh + 32            # 8 top margin + >=17 bottom slack, 8-aligned
+    return hh, hhp // 8, stride + 128     # (HH, G8, SP)
+
+
+@functools.lru_cache(maxsize=None)
+def _lut_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-hot tap-select weights per (mode, operand j): top-row taps
+    (corner at 0, t[k] at 1+k) and left-column taps (l[k])."""
+    wt = np.zeros((60, 32, 256), np.float32)
+    wl = np.zeros((60, 16, 256), np.float32)
+    for mode in range(20):
+        for j in range(3):
+            row = mode * 3 + j
+            for pix in range(256):
+                tap = int(TAPS[mode, pix, j])
+                if tap <= 16:
+                    wt[row, tap, pix] = 1.0
+                else:
+                    wl[row, tap - 17, pix] = 1.0
+    return (wt.astype(jnp.bfloat16), wl.astype(jnp.bfloat16),
+            KIND.astype(np.int32))
+
+
+def _bucket(n: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"size {n} exceeds largest bucket {buckets[-1]}")
+
+
+def _ops_bucket(n_ops: int) -> int:
+    """Smallest bucket whose chunked capacity holds n_ops rows."""
+    for b in NOPS_BUCKETS:
+        if n_ops <= (b // CHUNK) * (CHUNK - 1):
+            return b
+    raise ValueError(f"{n_ops} ops exceed largest bucket")
+
+
+def _chunk_ops(ops_arr: np.ndarray, bucket: int) -> np.ndarray:
+    """(1+n, 4) single-header op array -> (NCHUNK, CHUNK, 4) with per-chunk
+    header rows (SMEM element budget forces small chunks)."""
+    n = int(ops_arr[0, 0])
+    rows = ops_arr[1:1 + n]
+    nchunk = bucket // CHUNK
+    cap = CHUNK - 1
+    out = np.zeros((nchunk, CHUNK, 4), np.int32)
+    for c in range(nchunk):
+        seg = rows[c * cap:(c + 1) * cap]
+        out[c, 0, 0] = seg.shape[0]
+        out[c, 1:1 + seg.shape[0]] = seg
+    return out
+
+
+# ===================================================================== kernel
+def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool):
+    HMASK = 0xFFFF
+
+    def roll(x, s, axis):
+        if interpret:
+            return jnp.roll(x, s, axis)
+        # pltpu.roll requires non-negative shifts
+        size = x.shape[axis]
+        if isinstance(s, int):
+            s %= size
+            if s == 0:
+                return x
+        else:
+            s = jnp.remainder(s, size)
+        return pltpu.roll(x, s, axis)
+
+    def kernel(ops_ref, ring_ref, resid_ref, wt_ref, wl_ref, kind_ref,
+               out_ref, winl, winc, cur, curc, sems):
+        @pl.when(pl.program_id(1) == 0)
+        def _zero():
+            for g in range(G8):
+                out_ref[g] = jnp.zeros((8, SP), jnp.int32)
+
+        sub24 = jax.lax.broadcasted_iota(jnp.int32, (24, SP), 0)
+        lane24 = jax.lax.broadcasted_iota(jnp.int32, (24, SP), 1)
+        sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, SP), 0)
+        lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, SP), 1)
+        ii16 = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 0)
+        jj16 = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1)
+        jr1 = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)   # lane idx
+        ic1 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)   # sublane idx
+        # one-hot reshape matmuls: (1,256)->(16,16) and (1,64)->(8,8)
+        rm1_16 = (jax.lax.broadcasted_iota(jnp.int32, (16, 256), 1) // 16
+                  == jax.lax.broadcasted_iota(jnp.int32, (16, 256), 0)
+                  ).astype(jnp.float32)
+        rm2_16 = (jax.lax.broadcasted_iota(jnp.int32, (256, 16), 0) % 16
+                  == jax.lax.broadcasted_iota(jnp.int32, (256, 16), 1)
+                  ).astype(jnp.float32)
+        rm1_8 = (jax.lax.broadcasted_iota(jnp.int32, (8, 64), 1) // 8
+                 == jax.lax.broadcasted_iota(jnp.int32, (8, 64), 0)
+                 ).astype(jnp.float32)
+        rm2_8 = (jax.lax.broadcasted_iota(jnp.int32, (64, 8), 0) % 8
+                 == jax.lax.broadcasted_iota(jnp.int32, (64, 8), 1)
+                 ).astype(jnp.float32)
+        eye16 = (ii16 == jj16).astype(jnp.float32)
+        ones16 = jnp.ones((1, 16), jnp.float32)
+
+        def copy_groups(src_ref, gbase, dst, n):
+            dmas = [pltpu.make_async_copy(src_ref.at[gbase + k], dst.at[k],
+                                          sems.at[k]) for k in range(n)]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+
+        def write_groups(dst_ref, gbase, src, n):
+            dmas = [pltpu.make_async_copy(src.at[k], dst_ref.at[gbase + k],
+                                          sems.at[k]) for k in range(n)]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+
+        def rmw_load(rr):
+            """Fetch the 24 output rows covering rows rr-1 .. rr+16."""
+            base = rr - 1
+            g = base >> 3
+            o = base & 7
+            copy_groups(out_ref, g, cur, 3)
+            c24 = jnp.concatenate([cur[0], cur[1], cur[2]], axis=0)
+            return c24, g, o
+
+        def rmw_commit(new24, g):
+            cur[0] = new24[:8]
+            cur[1] = new24[8:16]
+            cur[2] = new24[16:24]
+            write_groups(out_ref, g, cur, 3)
+
+        def place24(blk16, cc, o):
+            p = jnp.pad(blk16, ((0, 8), (0, SP - 16)))
+            return roll(roll(p, cc, 1), o + 1, 0)
+
+        def halfpel(w, n, dx, dy):
+            """CopyBlock's 4 filter cases on an (n+1, n+1) window
+            (truncating >>1 per operand, MobiclipDecoder.cs:433-449)."""
+            a = w[:n, :n]
+            b = w[:n, 1:n + 1]
+            cv = w[1:n + 1, :n]
+            d = w[1:n + 1, 1:n + 1]
+            cs = (dx & 1) | ((dy & 1) << 1)
+            return jnp.where(
+                cs == 0, a,
+                jnp.where(cs == 1, (a >> 1) + (b >> 1),
+                          jnp.where(cs == 2, (a >> 1) + (cv >> 1),
+                                    (((a >> 1) + (b >> 1)) >> 1)
+                                    + (((cv >> 1) + (d >> 1)) >> 1))))
+
+        def reshape_res8(row64f):
+            y = rm1_8 * row64f
+            return jnp.dot(y, rm2_8, preferred_element_type=jnp.float32,
+                           precision=_HP).astype(jnp.int32)
+
+        def body(i, _carry):
+            w0 = ops_ref[i, 0]
+            w1 = ops_ref[i, 1]
+            w2 = ops_ref[i, 2]
+            w3 = ops_ref[i, 3]
+            typ = w0 & 3
+            rr = w1 & HMASK
+            cc = w1 >> 16
+
+            # ------------------------------------------------------ MC (1)
+            @pl.when(typ == 1)
+            def _mc():
+                bw = (w0 >> 16) & 0x1F
+                bh = (w0 >> 21) & 0x1F
+                ref = (w0 >> 13) & 7
+                dx = (w2 << 16) >> 16
+                dy = w2 >> 16
+                # luma
+                yb = rr + (dy >> 1)
+                xb = cc + (dx >> 1)
+                gl = ref * G8 + jnp.clip(yb >> 3, 0, G8 - 3)
+                copy_groups(ring_ref, gl, winl, 3)
+                w24 = jnp.concatenate([winl[0], winl[1], winl[2]], axis=0)
+                wnd = roll(roll(w24, -(yb & 7), 0), -xb, 1)
+                px = halfpel(wnd, 16, dx, dy)
+                c24, g, o = rmw_load(rr)
+                sel = ((sub24 >= o + 1) & (sub24 < o + 1 + bh)
+                       & (lane24 >= cc) & (lane24 < cc + bw))
+                rmw_commit(jnp.where(sel, place24(px, cc, o), c24), g)
+                # chroma (U | V halves of the packed plane; MVs re-halved)
+                cdx = dx >> 1
+                cdy = dy >> 1
+                cy = MR + H + ((rr - MR) >> 1)
+                ccu = MCOL + ((cc - MCOL) >> 1)
+                ccv = ccu + S // 2
+                cyb = cy + (cdy >> 1)
+                gc = ref * G8 + jnp.clip(cyb >> 3, 0, G8 - 2)
+                copy_groups(ring_ref, gc, winc, 2)
+                w16 = jnp.concatenate([winc[0], winc[1]], axis=0)
+                wr = roll(w16, -(cyb & 7), 0)
+                pxu = halfpel(roll(wr, -(ccu + (cdx >> 1)), 1), 8, cdx, cdy)
+                pxv = halfpel(roll(wr, -(ccv + (cdx >> 1)), 1), 8, cdx, cdy)
+                basec = cy - 1
+                g2 = basec >> 3
+                o2 = basec & 7
+                copy_groups(out_ref, g2, curc, 2)
+                c16 = jnp.concatenate([curc[0], curc[1]], axis=0)
+                cw = bw >> 1
+                ch = bh >> 1
+
+                def placec(p8, col):
+                    p = jnp.pad(p8, ((0, 8), (0, SP - 8)))
+                    return roll(roll(p, col, 1), o2 + 1, 0)
+
+                rsel = (sub16 >= o2 + 1) & (sub16 < o2 + 1 + ch)
+                selu = rsel & (lane16 >= ccu) & (lane16 < ccu + cw)
+                selv = rsel & (lane16 >= ccv) & (lane16 < ccv + cw)
+                new16 = jnp.where(selu, placec(pxu, ccu),
+                                  jnp.where(selv, placec(pxv, ccv), c16))
+                curc[0] = new16[:8]
+                curc[1] = new16[8:16]
+                write_groups(out_ref, g2, curc, 2)
+
+            # -------------------------------------------------- resid (2)
+            @pl.when(typ == 2)
+            def _res():
+                size = 1 << ((w0 >> 2) & 7)
+                c24, g, o = rmw_load(rr)
+                a = roll(roll(c24, -o, 0), -cc, 1)
+                cur8 = a[1:9, :8]
+                row = resid_ref[pl.ds(w3, 1), :].astype(jnp.float32)
+                res8 = reshape_res8(row)
+                out8 = jnp.clip(cur8 + res8, 0, 255)
+                p = jnp.pad(out8, ((0, 16), (0, SP - 8)))
+                placed = roll(roll(p, cc, 1), o + 1, 0)
+                sel = ((sub24 >= o + 1) & (sub24 < o + 1 + size)
+                       & (lane24 >= cc) & (lane24 < cc + size))
+                rmw_commit(jnp.where(sel, placed, c24), g)
+
+            # -------------------------------------------------- intra (3)
+            @pl.when(typ == 3)
+            def _intra():
+                size = 1 << ((w0 >> 2) & 7)
+                mode = (w0 >> 5) & 0x1F
+                has = (w0 >> 10) & 1
+                avt = (w0 >> 11) & 1
+                avl = (w0 >> 12) & 1
+                grad = w2
+                c24, g, o = rmw_load(rr)
+                a = roll(roll(c24, -o, 0), -(cc - 1), 1)
+                # row 0 = taps row (rr-1); col 0 = taps col (cc-1)
+                trow32 = a[:1, :32]          # corner @0, t[k] @1+k
+                t16 = a[:1, 1:17]
+                l16 = a[1:17, :1]
+
+                # --- LUT directional prediction (one-hot matmuls)
+                l16f = l16.astype(jnp.float32)
+                lrow = jnp.dot(ones16, l16f * eye16,
+                               preferred_element_type=jnp.float32,
+                               precision=_HP)          # (1,16) transpose
+                trb = trow32.astype(jnp.bfloat16)
+                lrb = lrow.astype(jnp.bfloat16)
+                m3 = mode * 3
+                ps = []
+                for j in range(3):
+                    pj = (jnp.dot(trb, wt_ref[m3 + j],
+                                  preferred_element_type=jnp.float32)
+                          + jnp.dot(lrb, wl_ref[m3 + j],
+                                    preferred_element_type=jnp.float32))
+                    ps.append(pj.astype(jnp.int32))
+                p1, p2, p3 = ps
+                # --- DC value with edge availability (:1920-2022)
+                npx = jnp.where(size == 4, 4, 8)
+                logn = jnp.where(size == 4, 2, 3)
+                sum_t = jnp.sum(jnp.where(jr1 < npx, t16, 0))
+                sum_l = jnp.sum(jnp.where(ic1 < npx, l16, 0))
+                dc = jnp.where(
+                    (avt == 1) & (avl == 1),
+                    (sum_t + sum_l + npx) >> (logn + 1),
+                    jnp.where((avt == 1), (sum_t + (npx >> 1)) >> logn,
+                              jnp.where((avl == 1),
+                                        (sum_l + (npx >> 1)) >> logn,
+                                        0x80)))
+                kindr = kind_ref[pl.ds(mode, 1), :]
+                pred256 = p1
+                pred256 = jnp.where(kindr == AVG2, (p1 + p2 + 1) >> 1,
+                                    pred256)
+                pred256 = jnp.where(kindr == AVG3,
+                                    (p1 + 2 * p2 + p3 + 2) >> 2, pred256)
+                pred256 = jnp.where(kindr == DC, dc, pred256)
+                predf = rm1_16 * pred256.astype(jnp.float32)
+                pred16 = jnp.dot(predf, rm2_16,
+                                 preferred_element_type=jnp.float32,
+                                 precision=_HP).astype(jnp.int32)
+
+                # --- plane modes 2/12 + plane16: closed form of the
+                # sub_1167BC/sub_116CCC/sub_117E98 recurrences (:3017-3327)
+                n16 = size == 16
+                n16i = n16.astype(jnp.int32)
+                tr = jnp.sum(jnp.where(jr1 == size - 1, t16, 0))
+                bl = jnp.sum(jnp.where(ic1 == size - 1, l16, 0))
+                r5 = ((bl + tr + 1) >> 1) + 2 * grad
+                r6 = r5 - bl + n16i
+                r9 = r5 - tr + n16i
+                tsc = jnp.where(size == 4, 4, 8)
+                asc = jnp.where(size == 4, 16, 64)
+                rsh = jnp.where(size == 4, 5, 7)
+                r4i = bl * tsc + (jr1 + 1) * jnp.where(n16, r6 >> 1, r6)
+                bi = jnp.where(n16, r4i - t16 * 8 + 1, r4i - t16 * tsc)
+                bt = jnp.where(n16, bi >> 1, bi)
+                r10 = tr * tsc + (ic1 + 1) * jnp.where(n16, r9 >> 1, r9)
+                r7 = jnp.where(n16, r10 - l16 * 8 + 1, r10 - l16 * tsc)
+                r7t = jnp.where(n16, r7 >> 1, r7)
+                acc = (asc * t16 + (ii16 + 1) * bt
+                       + asc * l16 + (jj16 + 1) * r7t + asc)
+                pout = acc >> rsh
+                # u32 word composition byte aliasing (_store_pred_row)
+                gk = []
+                for k in range(4):
+                    mk = jnp.where((jj16 & 3) == k, pout, 0)
+                    acc_k = mk
+                    for s in range(4):
+                        if s != k:
+                            acc_k = acc_k + roll(mk, s - k, 1)
+                    gk.append(acc_k)
+                word = (gk[0] | (gk[1] << 8) | (gk[2] << 16)
+                        | (gk[3] << 24))
+                b0 = word & 0xFF
+                b1 = jax.lax.shift_right_logical(word, 8) & 0xFF
+                b2 = jax.lax.shift_right_logical(word, 16) & 0xFF
+                b3 = jax.lax.shift_right_logical(word, 24) & 0xFF
+                lane4 = jj16 & 3
+                plane16 = jnp.where(lane4 == 0, b0,
+                                    jnp.where(lane4 == 1, b1,
+                                              jnp.where(lane4 == 2, b2,
+                                                        b3)))
+                is_plane = (mode == 2) | (mode == 12)
+                pred = jnp.where(is_plane, plane16, pred16)
+
+                # --- optional residual (add-clamp, MinMaxTable semantics)
+                row = resid_ref[pl.ds(w3, 1), :].astype(jnp.float32)
+                res16 = jnp.pad(reshape_res8(row), ((0, 8), (0, 8)))
+                outb = jnp.where(has == 1,
+                                 jnp.clip(pred + res16, 0, 255), pred)
+                sel = ((sub24 >= o + 1) & (sub24 < o + 1 + size)
+                       & (lane24 >= cc) & (lane24 < cc + size))
+                rmw_commit(jnp.where(sel, place24(outb, cc, o), c24), g)
+
+            return 0
+
+        jax.lax.fori_loop(1, 1 + ops_ref[0, 0], body, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_executor(B: int, H: int, S: int, nops: int, nr: int,
+                    interpret: bool):
+    _hh, G8, SP = _geom(H, S)
+    kernel = _make_kernel(H, S, G8, SP, interpret)
+    wt, wl, kind = _lut_tables()
+    wt = jnp.asarray(wt)
+    wl = jnp.asarray(wl)
+    kind = jnp.asarray(kind)
+
+    nchunk = nops // CHUNK
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B * G8, 8, SP), jnp.int32),
+        grid=(B, nchunk),
+        in_specs=[
+            pl.BlockSpec((CHUNK, 4),
+                         lambda b, ch: (b * nchunk + ch, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((6 * G8, 8, SP), lambda b, ch: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, 64), lambda b, ch: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((60, 32, 256), lambda b, ch: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((60, 16, 256), lambda b, ch: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((20, 256), lambda b, ch: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G8, 8, SP), lambda b, ch: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, 8, SP), jnp.int32),   # luma MC window
+            pltpu.VMEM((2, 8, SP), jnp.int32),   # chroma MC window
+            pltpu.VMEM((3, 8, SP), jnp.int32),   # RMW block
+            pltpu.VMEM((2, 8, SP), jnp.int32),   # chroma RMW block
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )
+
+    def run(ops, ring, resid):
+        return call(ops, ring, resid, wt, wl, kind)
+
+    return run
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("H", "S", "interpret"))
+def _decode_round(ring, ops, coefs, sizes, H: int, S: int, interpret: bool):
+    """One frame round for a (B, ...) stream batch.
+
+    ring: (B, 6, G8, 8, SP) int32; ops: (B, NOPS, 4) int32 (row 0 = header);
+    coefs: (B, NR, 64) int32 dequantized DCT coefficients;
+    sizes: (B, NR) int32 in {4, 8}.
+    Returns (new_ring, yuv (B, HH, S) uint8).
+    """
+    B = ops.shape[0]
+    nops = ops.shape[1] * ops.shape[2]   # (B, NCHUNK, CHUNK, 4)
+    nr = coefs.shape[1]
+    HH, G8, SP = _geom(H, S)
+    # residual pre-pass: full-support IDCT at both sizes, lane-selected
+    flat = coefs.reshape(B * nr, 64)
+    r8 = idct8(flat.reshape(-1, 8, 8))
+    r4 = jnp.pad(idct4(flat[:, :16].reshape(-1, 4, 4)),
+                 ((0, 0), (0, 4), (0, 4)))
+    resid = jnp.where((sizes.reshape(-1) == 4)[:, None, None], r4, r8)
+    resid = resid.reshape(B * nr, 64)
+
+    ringn = jnp.roll(ring, 1, axis=1)
+    run = _build_executor(B, H, S, nops, nr, interpret)
+    out = run(ops.reshape(B * nops, 4),
+              ringn.reshape(B * 6 * G8, 8, SP), resid)
+    ringn = ringn.at[:, 0].set(out.reshape(B, G8, 8, SP))
+    yuv = out.reshape(B, G8 * 8, SP)[:, MR:MR + HH, MCOL:MCOL + S]
+    return ringn, yuv.astype(jnp.uint8)
+
+
+# ==================================================================== driver
+class VmemBatchDecoder:
+    """Decodes B independent streams in lockstep through the VMEM engine."""
+
+    def __init__(self, width: int, height: int, version, batch: int = 1,
+                 interpret: bool | None = None, native: bool | None = None):
+        from ..models.plan import PlanningDecoder
+        self.B = batch
+        self.width, self.height = width, height
+        self.planners = [PlanningDecoder(width, height, version)
+                         for _ in range(batch)]
+        self.natives = None
+        if native is not False:
+            try:
+                from ..utils.native import NativePlanner
+                if not hasattr(NativePlanner, "scan_unified"):
+                    raise AttributeError("native scanner lacks unified mode")
+                self.natives = [NativePlanner(width, height, int(version))
+                                for _ in range(batch)]
+            except Exception:
+                if native is True:
+                    raise
+        self.stride = self.planners[0].stride
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = bool(interpret)
+        _hh, G8, SP = _geom(height, self.stride)
+        self.ring = jnp.zeros((batch, 6, G8, 8, SP), jnp.int32)
+
+    @property
+    def offset(self):
+        if self.natives is not None:
+            return self.natives[0].offset
+        return self.planners[0].offset
+
+    def _scan_one(self, b: int, packet: bytes) -> dict:
+        if self.natives is not None:
+            return self.natives[b].scan_unified(packet)
+        p = self.planners[b]
+        p.data = packet
+        p.offset = 0
+        p.decode_frame()
+        return p.unified_plan()
+
+    def scan_packets(self, packets: list[bytes]) -> tuple:
+        plans = [self._scan_one(b, pkt) for b, pkt in enumerate(packets)]
+        bucket = _ops_bucket(max(int(p["ops"][0, 0]) for p in plans))
+        nchunk = bucket // CHUNK
+        nr = _bucket(max(p["coefs"].shape[0] for p in plans), NR_BUCKETS)
+        ops = np.zeros((self.B, nchunk, CHUNK, 4), np.int32)
+        coefs = np.zeros((self.B, nr, 64), np.int32)
+        sizes = np.full((self.B, nr), 8, np.int32)
+        for b, p in enumerate(plans):
+            ops[b] = _chunk_ops(p["ops"], bucket)
+            coefs[b, :p["coefs"].shape[0]] = p["coefs"]
+            sizes[b, :p["sizes"].shape[0]] = p["sizes"]
+        return ops, coefs, sizes
+
+    def decode_frames(self, packets: list[bytes]) -> np.ndarray:
+        """One frame per stream; returns (B, HH, S) uint8 planes."""
+        ops, coefs, sizes = self.scan_packets(packets)
+        self.ring, yuv = _decode_round(self.ring, ops, coefs, sizes,
+                                       self.height, self.stride,
+                                       self.interpret)
+        return np.asarray(yuv)
+
+
+class VmemVideoDecoder(VmemBatchDecoder):
+    """Single-stream convenience wrapper (JaxVideoDecoder-compatible)."""
+
+    def __init__(self, width: int, height: int, version,
+                 interpret: bool | None = None, native: bool | None = None):
+        super().__init__(width, height, version, batch=1,
+                         interpret=interpret, native=native)
+
+    def decode_frame(self, packet: bytes) -> tuple[np.ndarray, np.ndarray]:
+        out = self.decode_frames([packet])[0]
+        H = self.height
+        return out[:H], out[H:]

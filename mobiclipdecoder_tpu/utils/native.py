@@ -74,6 +74,12 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.scanner_scan_unified.restype = ctypes.c_int
+    lib.scanner_scan_unified.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -108,6 +114,36 @@ class NativePlanner:
                 self._lib.scanner_destroy(self._ctx)
         except Exception:
             pass
+
+    UOPS_CAP = 16384
+    UCOEF_CAP = 16384
+
+    def scan_unified(self, packet: bytes) -> dict:
+        """Unified decode-order op stream (models/plan.py pack_unified
+        layout) for the VMEM engine; bit-identical to
+        PlanningDecoder.unified_plan()."""
+        uops = np.zeros((self.UOPS_CAP, 4), np.int32)
+        ucoef = np.zeros((self.UCOEF_CAP, 64), np.int32)
+        usize = np.zeros(self.UCOEF_CAP, np.int32)
+        meta = np.zeros(3, np.int32)
+
+        def p(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        consumed = self._lib.scanner_scan_unified(
+            self._ctx, packet, len(packet),
+            p(uops), self.UOPS_CAP, p(ucoef), p(usize), self.UCOEF_CAP,
+            p(meta))
+        if consumed < 0 or meta[2]:
+            raise ValueError("native unified scan failed")
+        self.offset = int(consumed)
+        n, k = int(meta[0]), int(meta[1])
+        ops = np.zeros((n + 1, 4), np.int32)
+        ops[0, 0] = n
+        ops[1:] = uops[:n]
+        k = max(k, 1)
+        return dict(ops=ops, coefs=ucoef[:k].copy(),
+                    sizes=usize[:k].copy())
 
     def scan(self, packet: bytes) -> FramePlan:
         H, S = self.height, self.stride

@@ -52,6 +52,13 @@ struct PlanSink {
   std::vector<int32_t> lvl_y, lvl_uv;
   int n_levels = 0;
   int seq = 0;  // running op sequence
+  // unified decode-order op stream (VMEM engine, models/plan.py
+  // pack_unified): rows of {w0 bitfields, row|col<<16, dx|dy / grad, coef
+  // idx}; coefficient rows in ucoef (64 each) with sizes in usize.
+  int32_t *uops = nullptr;  int uops_cap = 0,  uops_n = 0;   // (cap, 4)
+  int32_t *ucoef = nullptr; int32_t *usize = nullptr;
+  int ucoef_cap = 0, ucoef_n = 0;
+  bool unified_only = false;  // skip FramePlan arrays + level bookkeeping
   bool overflow = false;
 };
 
@@ -142,9 +149,58 @@ struct Scanner {
         map[r * cols + c] = level;
   }
 
+  // --------------------------------------------- unified-stream emission
+  // Mirrors models/plan.py pack_unified exactly (margins MR=MCOL=8).
+  static int size_log(int size) {
+    return size == 2 ? 1 : size == 4 ? 2 : size == 8 ? 3 : 4;
+  }
+  int u_coef_row(const int32_t *dense, int size) {
+    if (sink->ucoef_n >= sink->ucoef_cap) { sink->overflow = true; return 0; }
+    int k = sink->ucoef_n++;
+    int32_t *c = sink->ucoef + 64 * k;
+    memset(c, 0, 64 * 4);
+    memcpy(c, dense, size * size * 4);
+    sink->usize[k] = size;
+    return k;
+  }
+  void u_row(int32_t w0, int32_t w1, int32_t w2, int32_t w3) {
+    if (sink->uops_n >= sink->uops_cap) { sink->overflow = true; return; }
+    int32_t *r = sink->uops + 4 * (sink->uops_n++);
+    r[0] = w0; r[1] = w1; r[2] = w2; r[3] = w3;
+  }
+  void u_mc(int y, int x, int w, int h, int ref, int dx, int dy) {
+    u_row(1 | (ref << 13) | (w << 16) | (h << 21),
+          (8 + y) | ((8 + x) << 16),
+          int32_t((uint32_t(dx) & 0xFFFF) | (uint32_t(dy) << 16)), 0);
+  }
+  void u_resid(int pid, int y, int x, int size, const int32_t *dense) {
+    int k = u_coef_row(dense, size);
+    u_row(2 | (size_log(size) << 2),
+          (8 + y + (pid ? height : 0)) | ((8 + x) << 16), 0, k);
+  }
+  void u_intra(int pid, int y, int x, int size, int mode, int grad,
+               int has, const int32_t *dense) {
+    if (mode == 9 || mode == 19) {
+      if (has) u_resid(pid, y, x, size, dense);
+      return;
+    }
+    int S = stride;
+    int half = (pid == 1 && x >= S / 2) ? S / 2 : 0;
+    int avl = (x - half) != 0;
+    int avt = y != 0;
+    int k = has ? u_coef_row(dense, size) : 0;
+    u_row(3 | (size_log(size) << 2) | (mode << 5) | (has << 10)
+              | (avt << 11) | (avl << 12),
+          (8 + y + (pid ? height : 0)) | ((8 + x) << 16), grad, k);
+  }
+
   void record_mc(int w, int h, int ref, int dx, int dy, int off) {
     int S = stride;
     int y = off / S, x = off % S;
+    if (sink->uops) {
+      u_mc(y, x, w, h, ref, dx, dy);
+      if (sink->unified_only) { sink->seq++; return; }
+    }
     if (sink->mc_n < sink->mc_cap) {
       int32_t *r = sink->mc + sink->mc_n * 7;
       r[0] = y; r[1] = x; r[2] = w; r[3] = h; r[4] = ref; r[5] = dx; r[6] = dy;
@@ -162,6 +218,10 @@ struct Scanner {
   void record_resid(int pid, int off, int size, const int32_t *dense) {
     int S = stride;
     int y = off / S, x = off % S;
+    if (sink->uops) {
+      u_resid(pid, y, x, size, dense);
+      if (sink->unified_only) { sink->seq++; return; }
+    }
     if (sink->resid_n < sink->resid_cap) {
       int32_t *r = sink->resid + sink->resid_n * 4;
       r[0] = pid; r[1] = y; r[2] = x; r[3] = size;
@@ -179,6 +239,10 @@ struct Scanner {
                     int has_coef, const int32_t *dense) {
     int S = stride, cols = S / 4;
     int y = off / S, x = off % S;
+    if (sink->uops) {
+      u_intra(pid, y, x, size, mode, grad, has_coef, dense);
+      if (sink->unified_only) { sink->seq++; return; }
+    }
     int32_t *smap = pid ? sink->seq_uv : sink->seq_y;
     std::vector<int32_t> &lmap = pid ? sink->lvl_uv : sink->lvl_y;
     int ph = pid ? height / 2 : height;
@@ -672,6 +736,27 @@ int scanner_scan(void *ctx, const uint8_t *pkt, int pkt_len,
   out_meta[2] = sink.intra_n;
   out_meta[3] = sink.n_levels;
   out_meta[4] = sink.overflow ? 1 : 0;
+  s->sink = nullptr;
+  return consumed;
+}
+
+// Unified decode-order op stream for the VMEM engine (models/plan.py
+// pack_unified layout).  out_meta gets {uops_n, ucoef_n, overflow}.
+// Returns the consumed byte offset or -1 on error.
+int scanner_scan_unified(void *ctx, const uint8_t *pkt, int pkt_len,
+                         int32_t *uops, int uops_cap,
+                         int32_t *ucoef, int32_t *usize, int ucoef_cap,
+                         int32_t *out_meta) {
+  Scanner *s = static_cast<Scanner *>(ctx);
+  PlanSink sink;
+  sink.unified_only = true;
+  sink.uops = uops; sink.uops_cap = uops_cap;
+  sink.ucoef = ucoef; sink.usize = usize; sink.ucoef_cap = ucoef_cap;
+  s->sink = &sink;
+  int consumed = s->scan(pkt, pkt_len);
+  out_meta[0] = sink.uops_n;
+  out_meta[1] = sink.ucoef_n;
+  out_meta[2] = sink.overflow ? 1 : 0;
   s->sink = nullptr;
   return consumed;
 }

@@ -66,3 +66,30 @@ def test_native_speedup():
         nat.scan(pkt)
     t_nat = time.perf_counter() - t0
     assert t_nat < t_py / 4, (t_py, t_nat)
+
+
+def test_native_unified_stream_matches_python():
+    """scanner_scan_unified must be bit-identical to
+    PlanningDecoder.unified_plan() (ops to the VMEM engine)."""
+    import numpy as np
+    from mobiclipdecoder_tpu.models.oracle_video import MobiclipVersion
+    from mobiclipdecoder_tpu.models.plan import PlanningDecoder
+    from mobiclipdecoder_tpu.testing.synth import StreamSynthesizer
+    from mobiclipdecoder_tpu.utils.native import NativePlanner
+
+    for ver in (MobiclipVersion.MODS_DS, MobiclipVersion.MOFLEX_3DS):
+        W, H = 64, 48
+        s = StreamSynthesizer(W, H, ver, seed=2)
+        py = PlanningDecoder(W, H, ver)
+        nat = NativePlanner(W, H, int(ver))
+        for i in range(4):
+            pkt = s.iframe(0x18) if i == 0 else s.pframe()
+            py.data = pkt
+            py.offset = 0
+            py.decode_frame()
+            up = py.unified_plan()
+            un = nat.scan_unified(pkt)
+            assert (up["ops"] == un["ops"]).all()
+            assert (up["coefs"] == un["coefs"]).all()
+            assert (up["sizes"] == un["sizes"]).all()
+            assert py.offset == nat.offset

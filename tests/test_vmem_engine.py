@@ -1,0 +1,68 @@
+"""VMEM sequential-executor engine vs oracle: bit-exact YUV equivalence.
+
+The engine executes the unified decode-order op stream in one Pallas kernel
+(interpret mode on CPU here; compiled on real TPU by bench.py / the driver).
+Must reproduce the sequential oracle exactly — including decode-order
+semantics and half-pel truncation.
+"""
+import numpy as np
+import pytest
+
+from mobiclipdecoder_tpu.models.oracle_video import (MobiclipVersion,
+                                                     OracleDecoder)
+from mobiclipdecoder_tpu.testing.synth import StreamSynthesizer
+
+pytest.importorskip("jax")
+from mobiclipdecoder_tpu.ops.vmem_engine import (VmemBatchDecoder,  # noqa: E402
+                                                 VmemVideoDecoder)
+
+
+def _compare_gop(version, seed, W=64, H=48, nframes=4, qp=0x18):
+    synth = StreamSynthesizer(W, H, version, seed=seed)
+    oracle = OracleDecoder(W, H, version)
+    eng = VmemVideoDecoder(W, H, version, interpret=True, native=False)
+    for i in range(nframes):
+        pkt = synth.iframe(qp) if i == 0 else synth.pframe()
+        oracle.data = pkt
+        oracle.offset = 0
+        oracle.decode_frame()
+        y_t, uv_t = eng.decode_frame(pkt)
+        S = oracle.stride
+        y_o = oracle.y_planes[0].reshape(-1, S)
+        uv_o = oracle.uv_planes[0].reshape(-1, S)
+        if not (y_o == y_t).all() or not (uv_o == uv_t).all():
+            dy = np.argwhere(y_o.astype(int) != y_t.astype(int))
+            duv = np.argwhere(uv_o.astype(int) != uv_t.astype(int))
+            raise AssertionError(
+                f"frame {i}: Y mismatches {len(dy)} (first {dy[:5].tolist()}),"
+                f" UV mismatches {len(duv)} (first {duv[:5].tolist()})")
+
+
+@pytest.mark.parametrize("version", [MobiclipVersion.MODS_DS,
+                                     MobiclipVersion.MOFLEX_3DS])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_vmem_matches_oracle_gop(version, seed):
+    _compare_gop(version, seed)
+
+
+def test_vmem_matches_oracle_other_qp():
+    _compare_gop(MobiclipVersion.MODS_DS, seed=3, qp=0x24)
+
+
+def test_vmem_batch_matches_single():
+    W, H = 64, 48
+    v = MobiclipVersion.MODS_DS
+    synths = [StreamSynthesizer(W, H, v, seed=s) for s in (5, 6, 7)]
+    oracles = [OracleDecoder(W, H, v) for _ in range(3)]
+    bd = VmemBatchDecoder(W, H, v, batch=3, interpret=True, native=False)
+    for i in range(3):
+        pkts = [s.iframe(0x18) if i == 0 else s.pframe() for s in synths]
+        out = bd.decode_frames(pkts)
+        for b, (o, pkt) in enumerate(zip(oracles, pkts)):
+            o.data = pkt
+            o.offset = 0
+            o.decode_frame()
+            S = o.stride
+            exp = np.concatenate([o.y_planes[0].reshape(-1, S),
+                                  o.uv_planes[0].reshape(-1, S)], axis=0)
+            assert (out[b] == exp).all(), f"frame {i} stream {b}"
