@@ -15,7 +15,8 @@ def main(argv=None):
     d = sub.add_parser("decode", help="decode a container file to raw A/V")
     d.add_argument("input")
     d.add_argument("out_prefix")
-    d.add_argument("--engine", choices=["oracle", "tpu"], default="tpu")
+    d.add_argument("--engine", choices=["oracle", "tpu", "tpu-xla"],
+                   default="tpu")
     e = sub.add_parser("encode", help="encode a .y4m file to a .moflex")
     e.add_argument("input")
     e.add_argument("output")

@@ -456,8 +456,8 @@ def _build_executor(B: int, H: int, S: int, nops: int, nr: int,
     return run
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("H", "S", "interpret"))
+@functools.partial(jax.jit, static_argnames=("H", "S", "interpret"),
+                   donate_argnums=(0,))
 def _decode_round(ring, ops, coefs, sizes, H: int, S: int, interpret: bool):
     """One frame round for a (B, ...) stream batch.
 

@@ -37,6 +37,11 @@ def _make_video_decoder(width: int, height: int, version: MobiclipVersion,
     if engine == "oracle":
         return OracleDecoder(width, height, version)
     if engine == "tpu":
+        # the VMEM sequential-executor kernel: the single-chip hot path
+        from ..ops.vmem_engine import VmemVideoDecoder
+        return VmemVideoDecoder(width, height, version)
+    if engine == "tpu-xla":
+        # the wavefront XLA engine (mesh-shardable; slower single-chip)
         from ..models.pipeline import JaxVideoDecoder
         return JaxVideoDecoder(width, height, version)
     raise ValueError(f"unknown engine {engine!r}")
