@@ -17,6 +17,21 @@ def main(argv=None):
     d.add_argument("out_prefix")
     d.add_argument("--engine", choices=["oracle", "tpu", "tpu-xla"],
                    default="tpu")
+    d.add_argument("--format", choices=["y4m", "avi"], default="y4m",
+                   help="avi = uncompressed RGB AVI like the reference "
+                        "converter; y4m = raw codec-native YUV + wav")
+    i = sub.add_parser("info", help="probe a container header (no decode)")
+    i.add_argument("input")
+    pl = sub.add_parser("play", help="headless paced playback with timing "
+                                     "stats (the GUI player's decode loop)")
+    pl.add_argument("input")
+    pl.add_argument("--engine", choices=["oracle", "tpu", "tpu-xla"],
+                    default="tpu")
+    pl.add_argument("--no-pacing", action="store_true",
+                    help="decode as fast as possible (benchmark mode)")
+    pl.add_argument("--dump-frame", type=int, default=None,
+                    help="write RGB frame N as PPM")
+    pl.add_argument("--dump-path", default=None)
     e = sub.add_parser("encode", help="encode a .y4m file to a .moflex")
     e.add_argument("input")
     e.add_argument("output")
@@ -26,10 +41,20 @@ def main(argv=None):
     if args.cmd == "decode":
         from .runtime.transcode import transcode
         t0 = time.perf_counter()
-        stats = transcode(args.input, args.out_prefix, engine=args.engine)
+        stats = transcode(args.input, args.out_prefix, engine=args.engine,
+                          fmt=args.format)
         stats["seconds"] = round(time.perf_counter() - t0, 3)
         stats["fps"] = round(stats["frames"] / max(stats["seconds"], 1e-9), 2)
         print(json.dumps(stats))
+    elif args.cmd == "info":
+        from .runtime.transcode import probe_info
+        print(json.dumps(probe_info(args.input)))
+    elif args.cmd == "play":
+        from .runtime.transcode import play
+        print(json.dumps(play(args.input, engine=args.engine,
+                              realtime=not args.no_pacing,
+                              dump_frame=args.dump_frame,
+                              dump_path=args.dump_path)))
     elif args.cmd == "encode":
         from .runtime.transcode import encode_y4m_to_moflex
         t0 = time.perf_counter()

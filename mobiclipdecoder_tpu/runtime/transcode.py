@@ -138,13 +138,30 @@ def decode_mods(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
 
 
 def transcode(path: str | Path, out_prefix: str | Path,
-              engine: str = "oracle") -> dict:
-    """File -> <prefix>.y4m (+ <prefix>.wav when the container carries audio).
-    Signature-based container dispatch like the reference apps
-    (Form1.cs:193-224).  Returns summary stats."""
+              engine: str = "oracle", fmt: str = "y4m") -> dict:
+    """File -> <prefix>.y4m (+ <prefix>.wav when the container carries audio)
+    or <prefix>.avi (``fmt="avi"``, the reference converter's output format,
+    MobiConverter/Program.cs:72,329-353).  Signature-based container dispatch
+    like the reference apps (Form1.cs:193-224).  Returns summary stats."""
     data = Path(path).read_bytes()
 
-    def _write(frames, name, width, height, fps, freq=0, nch=1):
+    def _write(frames, name, width, height, fps, freq=0, nch=1,
+               moflex_rgb=True):
+        if fmt == "avi":
+            from ..utils.avi import AviWriter
+            avi = AviWriter(str(out_prefix) + ".avi", width, height, fps,
+                            audio_rate=freq, audio_channels=nch)
+            n = 0
+            has_pcm = False
+            for fr in frames:
+                avi.add_frame(rawio.yuv_to_rgb(fr.y, fr.u, fr.v, moflex_rgb))
+                if fr.pcm is not None:
+                    avi.add_audio(fr.pcm)
+                    has_pcm = True
+                n += 1
+            avi.close()
+            return {"container": name, "frames": n, "audio": has_pcm,
+                    "width": width, "height": height, "format": "avi"}
         y4m = rawio.Y4MWriter(str(out_prefix) + ".y4m", width, height, fps)
         pcm_parts = []
         n = 0
@@ -158,7 +175,7 @@ def transcode(path: str | Path, out_prefix: str | Path,
             rawio.write_wav(str(out_prefix) + ".wav",
                             np.concatenate(pcm_parts), freq, nch)
         return {"container": name, "frames": n, "audio": bool(pcm_parts),
-                "width": width, "height": height}
+                "width": width, "height": height, "format": "y4m"}
 
     if data[:4] == b"MOC5":
         from ..containers.moc5 import Moc5Header
@@ -195,25 +212,125 @@ def transcode(path: str | Path, out_prefix: str | Path,
     if data[:4] == b"MODS":
         dm = ModsDemuxer(data)
         h = dm.header
-        frames = decode_mods(data, engine=engine)
-        y4m = rawio.Y4MWriter(str(out_prefix) + ".y4m", h.width, h.height,
-                              h.fps_float)
-        pcm_parts = []
-        n = 0
-        for fr in frames:
-            y4m.add_frame(fr.y, fr.u, fr.v)
-            if fr.pcm is not None:
-                pcm_parts.append(fr.pcm)
-            n += 1
-        y4m.close()
-        if pcm_parts:
-            rawio.write_wav(str(out_prefix) + ".wav",
-                            np.concatenate(pcm_parts), h.frequency,
-                            h.nb_channel)
-        return {"container": "mods", "frames": n,
-                "audio": bool(pcm_parts), "width": h.width,
-                "height": h.height}
+        return _write(decode_mods(data, engine=engine), "mods",
+                      h.width, h.height, h.fps_float, freq=h.frequency,
+                      nch=h.nb_channel, moflex_rgb=False)
     raise ValueError("unrecognized container signature")
+
+
+def probe_info(path: str | Path) -> dict:
+    """Container header probe without decoding (the role of the reference
+    apps' signature dispatch + header display, Form1.cs:188-224)."""
+    data = Path(path).read_bytes()
+    if data[:4] == b"MOC5":
+        from ..containers.moc5 import Moc5Header
+        h = Moc5Header.parse(data)
+        return {"container": "moc5", "codec": "mobiclip/moflex3ds-profile",
+                "width": h.width, "height": h.height, "fps": h.fps}
+    if str(path).endswith(".vx2"):
+        from ..containers.vx import VX2_HEIGHT, VX2_WIDTH
+        return {"container": "vx2", "codec": "mobiclip/moflex3ds-profile",
+                "width": VX2_WIDTH, "height": VX2_HEIGHT, "fps": 20.0,
+                "audio": "pcm16 mono 32768 Hz"}
+    if data[:4] == b"VXDS":
+        from ..containers.vx import VxDemuxer
+        h = VxDemuxer(data).header
+        return {"container": "vx", "codec": "mobiclip-vx (decode stub)",
+                "width": h.width, "height": h.height,
+                "frame_count": h.frame_count}
+    if data[:2] == b"\x4c\x32":
+        from ..containers.moflex import (AudioStream, MoflexDemuxer,
+                                         VideoStream, VideoStreamWithLayout)
+        info: dict = {"container": "moflex", "streams": []}
+
+        def probe(chunk, _):
+            rec = None
+            if isinstance(chunk, (VideoStream, VideoStreamWithLayout)):
+                rec = {"type": "video", "index": chunk.stream_index,
+                       "width": chunk.width, "height": chunk.height,
+                       "fps": chunk.fps_rate / max(chunk.fps_scale, 1)}
+                if isinstance(chunk, VideoStreamWithLayout):
+                    rec["layout"] = int(chunk.layout)
+            elif isinstance(chunk, AudioStream):
+                rec = {"type": "audio", "index": chunk.stream_index,
+                       "codec": {0: "fastaudio", 1: "ima-adpcm",
+                                 2: "pcm16"}.get(chunk.codec_id,
+                                                 str(chunk.codec_id)),
+                       "frequency": chunk.frequency,
+                       "channels": chunk.channels}
+            if rec is not None and rec not in info["streams"]:
+                info["streams"].append(rec)
+        dm = MoflexDemuxer(data, on_frame=probe)
+        dm.read_packet()
+        dm.read_packet()
+        for _, (chunk, _b) in dm.streams.items():
+            probe(chunk, b"")
+        return info
+    if data[:4] == b"MODS":
+        h = ModsDemuxer(data).header
+        return {"container": "mods", "codec": "mobiclip/mods-ds-profile",
+                "width": h.width, "height": h.height,
+                "fps": h.fps_float, "frame_count": h.frame_count,
+                "audio_codec": {1: "sx", 2: "fastaudio",
+                                3: "ima-adpcm"}.get(h.audio_codec, "none"),
+                "channels": h.nb_channel, "frequency": h.frequency,
+                "keyframes": h.keyframe_count}
+    raise ValueError("unrecognized container signature")
+
+
+def play(path: str | Path, engine: str = "tpu", realtime: bool = True,
+         dump_frame: int | None = None,
+         dump_path: str | Path | None = None) -> dict:
+    """Headless player (the Form1 player's decode/pacing loop,
+    Form1.cs:486-535): decodes frames, paces against 1/fps when
+    ``realtime``, reports achieved fps + deadline misses.  ``dump_frame``
+    writes one RGB frame as PPM (the display surrogate)."""
+    import time
+
+    info = probe_info(path)
+    data = Path(path).read_bytes()
+    if info["container"] == "moflex":
+        vids = [s for s in info["streams"] if s["type"] == "video"]
+        fps = vids[0]["fps"] if vids else 24.0
+        frames = decode_moflex(data, engine=engine)
+        moflex_rgb = True
+    elif info["container"] == "mods":
+        fps = info["fps"]
+        frames = decode_mods(data, engine=engine)
+        moflex_rgb = False
+    elif info["container"] == "moc5":
+        fps = info["fps"]
+        frames = decode_moc5(data, engine=engine)
+        moflex_rgb = True
+    elif info["container"] == "vx2":
+        fps = info["fps"]
+        frames = decode_vx2(data, engine=engine)
+        moflex_rgb = True
+    else:
+        raise ValueError("unplayable container")
+    period = 1.0 / max(fps, 1e-3)
+    t0 = time.perf_counter()
+    n = 0
+    late = 0
+    for fr in frames:
+        deadline = t0 + (n + 1) * period
+        now = time.perf_counter()
+        if dump_frame is not None and fr.index == dump_frame:
+            rgb = rawio.yuv_to_rgb(fr.y, fr.u, fr.v, moflex_rgb)
+            rawio.write_ppm(dump_path or (str(path) + f".{fr.index}.ppm"),
+                            rgb)
+        if realtime:
+            if now > deadline:
+                late += 1
+            else:
+                # busy-wait pacing like HiResTimer (Form1.cs:530-535)
+                while time.perf_counter() < deadline:
+                    pass
+        n += 1
+    wall = time.perf_counter() - t0
+    return {"frames": n, "fps_target": round(fps, 3),
+            "fps_achieved": round(n / wall, 2) if wall else 0.0,
+            "late_frames": late, "realtime": realtime and late == 0}
 
 
 def decode_moflex(data: bytes, engine: str = "oracle",

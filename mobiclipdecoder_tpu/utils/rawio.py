@@ -52,6 +52,53 @@ def write_ppm(path: str | Path, rgb: np.ndarray) -> None:
         f.write(np.ascontiguousarray(rgb, dtype=np.uint8).tobytes())
 
 
+def yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+               moflex: bool) -> np.ndarray:
+    """Cropped-plane YUV->RGB epilogue, identical math to the decoder's
+    conversion (MobiclipDecoder.cs:260-323 / OracleDecoder.to_rgb):
+    chroma upsample by pixel parity (edge rows/cols use the co-sited sample —
+    the reference's `interior` condition), then Moflex YCbCr (float, with
+    (c-16)*255/239 range expansion) or MODS pseudo-YUV (integer)."""
+    H, W = y.shape
+    yf = y.astype(np.float32)
+    uf = u.astype(np.float32) - np.float32(128.0)
+    vf = v.astype(np.float32) - np.float32(128.0)
+    yy, xx = np.mgrid[0:H, 0:W]
+    cy, cx = yy // 2, xx // 2
+    u0, v0 = uf[cy, cx], vf[cy, cx]
+    interior = (xx != W - 1) & (yy != H - 1)
+    case = np.where(interior, (xx & 1) | ((yy & 1) << 1), 0)
+    cx1 = np.minimum(cx + 1, W // 2 - 1)
+    cy1 = np.minimum(cy + 1, H // 2 - 1)
+    U, V = u0.copy(), v0.copy()
+    m = case == 1
+    U[m] = (u0[m] + uf[cy, cx1][m]) / np.float32(2)
+    V[m] = (v0[m] + vf[cy, cx1][m]) / np.float32(2)
+    m = case == 2
+    U[m] = (u0[m] + uf[cy1, cx][m]) / np.float32(2)
+    V[m] = (v0[m] + vf[cy1, cx][m]) / np.float32(2)
+    m = case == 3
+    U[m] = (((u0[m] + uf[cy, cx1][m]) + uf[cy1, cx][m])
+            + uf[cy1, cx1][m]) / np.float32(4)
+    V[m] = (((v0[m] + vf[cy, cx1][m]) + vf[cy1, cx][m])
+            + vf[cy1, cx1][m]) / np.float32(4)
+    if moflex:
+        R = yf + np.float32(1.420) * V
+        G = yf - np.float32(0.344) * U - np.float32(0.714) * V
+        B = yf + np.float32(1.772) * U
+        R = (R - 16) * np.float32(255) / np.float32(255 - 16)
+        G = (G - 16) * np.float32(255) / np.float32(255 - 16)
+        B = (B - 16) * np.float32(255) / np.float32(255 - 16)
+    else:
+        yi = yf.astype(np.int32)
+        ui = U.astype(np.int32)
+        vi = V.astype(np.int32)
+        R = (yi + ui - vi).astype(np.float32)
+        G = (yi + vi).astype(np.float32)
+        B = (yi - ui - vi).astype(np.float32)
+    return np.clip(np.stack([R, G, B], axis=-1), 0, 255).astype(np.uint8)
+
+
 def interleave_channels(channels: list[np.ndarray]) -> np.ndarray:
     """Per-sample channel interleave (Form1.cs:637-650)."""
     n = min(len(c) for c in channels)

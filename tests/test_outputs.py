@@ -1,0 +1,115 @@
+"""Presentation/outputs parity: AVI writer, YUV->RGB epilogue, Majesco stub,
+info/play CLI surfaces."""
+import json
+import struct
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from mobiclipdecoder_tpu.models.oracle_video import (MobiclipVersion,  # noqa
+                                                     OracleDecoder)
+from mobiclipdecoder_tpu.testing.synth import StreamSynthesizer  # noqa
+from mobiclipdecoder_tpu.utils import rawio  # noqa
+
+
+def test_yuv_to_rgb_matches_oracle_epilogue():
+    """rawio.yuv_to_rgb on cropped planes == OracleDecoder.to_rgb."""
+    for ver in (MobiclipVersion.MODS_DS, MobiclipVersion.MOFLEX_3DS):
+        W, H = 64, 48
+        synth = StreamSynthesizer(W, H, ver, seed=9)
+        dec = OracleDecoder(W, H, ver)
+        for i in range(2):
+            dec.data = synth.iframe(0x18) if i == 0 else synth.pframe()
+            dec.offset = 0
+            dec.decode_frame()
+            y, u, v = dec.cropped_yuv()
+            got = rawio.yuv_to_rgb(y, u, v,
+                                   ver == MobiclipVersion.MOFLEX_3DS)
+            np.testing.assert_array_equal(got, dec.to_rgb())
+
+
+def test_avi_writer_structure(tmp_path):
+    from mobiclipdecoder_tpu.utils.avi import AviWriter
+    p = tmp_path / "t.avi"
+    w = AviWriter(p, 32, 16, 24.0, audio_rate=8000, audio_channels=2)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        w.add_frame(rng.integers(0, 255, (16, 32, 3)).astype(np.uint8))
+    w.add_audio(rng.integers(-1000, 1000, 600).astype(np.int16))
+    w.close()
+    data = p.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack_from("<I", data, 4)[0] == len(data) - 8
+    assert b"00db" in data and b"01wb" in data and b"idx1" in data
+    # avih frame count
+    avih_at = data.index(b"avih") + 8
+    assert struct.unpack_from("<I", data, avih_at + 16)[0] == 3
+
+
+def test_transcode_avi(tmp_path):
+    from test_mods_e2e import _build_fixture
+    from mobiclipdecoder_tpu.runtime.transcode import transcode
+    blob = _build_fixture()
+    src = tmp_path / "in.mods"
+    src.write_bytes(blob)
+    stats = transcode(src, tmp_path / "out", engine="oracle", fmt="avi")
+    assert stats["format"] == "avi" and stats["frames"] == 6
+    data = (tmp_path / "out.avi").read_bytes()
+    assert data[:4] == b"RIFF" and b"01wb" in data
+
+
+def test_info_and_play(tmp_path):
+    from test_mods_e2e import _build_fixture
+    from mobiclipdecoder_tpu.runtime.transcode import play, probe_info
+    blob = _build_fixture()
+    src = tmp_path / "in.mods"
+    src.write_bytes(blob)
+    info = probe_info(src)
+    assert info["container"] == "mods" and info["width"] == 64
+    assert info["audio_codec"] == "ima-adpcm"
+    stats = play(src, engine="oracle", realtime=False,
+                 dump_frame=1, dump_path=tmp_path / "f1.ppm")
+    assert stats["frames"] == 6
+    ppm = (tmp_path / "f1.ppm").read_bytes()
+    assert ppm.startswith(b"P6\n64 48\n255\n")
+
+
+def test_majesco_stub_parity():
+    from mobiclipdecoder_tpu.models import audio_majesco as mj
+    # header parsing + null-return parity (MajescoInflater.cs:368-377)
+    blob = struct.pack("<I", 1234) + b"\x00" * 16
+    assert mj.get_output_size(blob) == 1234
+    assert mj.inflate(blob) is None
+    assert mj.MajescoDecoder().decode(b"") is None
+    # decode-table builder on a canonical code: lengths {A:1, B:2, C:3, D:3}
+    lengths = np.array([1, 2, 3, 3], np.int32)
+    primary, secondary, _ = mj.build_decode_table(lengths, primary_bits=8)
+    # canonical codes: A=0, B=10, C=110, D=111
+    assert primary[0b00000000] == (0 << 4) | 1
+    assert primary[0b01111111] == (0 << 4) | 1
+    assert primary[0b10000000] == (1 << 4) | 2
+    assert primary[0b11000000] == (2 << 4) | 3
+    assert primary[0b11100000] == (3 << 4) | 3
+    # long codes route through the secondary table
+    lengths2 = np.zeros(600, np.int32)
+    lengths2[:2] = [1, 2]
+    lengths2[2:6] = 10          # four 10-bit codes -> secondary
+    lengths2[6] = 3
+    primary2, secondary2, _ = mj.build_decode_table(lengths2)
+    e = primary2[0b11100000]
+    assert (e & 0xF) == 0xF
+    # peek 1110000000 -> first 10-bit code (symbol 2)
+    base = e >> 4
+    assert secondary2[base + 0] == (2 << 4) | 10
+    # over-subscribed codes must be rejected
+    with pytest.raises(ValueError):
+        mj.build_decode_table(np.array([1, 1, 1], np.int32))
+    # bit reader: LE u16-word refill, MSB-first
+    br = mj.MajescoBitReader(bytes([0x34, 0x12, 0x78, 0x56]))
+    assert br.read(4) == 0x1
+    assert br.read(8) == 0x23
+    assert br.read(4) == 0x4
