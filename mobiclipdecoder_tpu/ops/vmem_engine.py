@@ -515,6 +515,8 @@ class VmemBatchDecoder:
         self.interpret = bool(interpret)
         _hh, G8, SP = _geom(height, self.stride)
         self.ring = jnp.zeros((batch, 6, G8, 8, SP), jnp.int32)
+        from ..runtime.metrics import DecodeMetrics
+        self.metrics = DecodeMetrics()
 
     @property
     def offset(self):
@@ -546,12 +548,29 @@ class VmemBatchDecoder:
         return ops, coefs, sizes
 
     def decode_frames(self, packets: list[bytes]) -> np.ndarray:
-        """One frame per stream; returns (B, HH, S) uint8 planes."""
-        ops, coefs, sizes = self.scan_packets(packets)
-        self.ring, yuv = _decode_round(self.ring, ops, coefs, sizes,
-                                       self.height, self.stride,
-                                       self.interpret)
-        return np.asarray(yuv)
+        """One frame per stream; returns (B, HH, S) uint8 planes.
+
+        Stages carry jax.profiler trace annotations (SURVEY.md §5 tracing)
+        so `jax.profiler.trace()` captures host-scan vs device-decode split;
+        wall-clock lands in self.metrics."""
+        import time
+        t0 = time.perf_counter()
+        with jax.profiler.TraceAnnotation("mobiclip.scan"):
+            ops, coefs, sizes = self.scan_packets(packets)
+        t1 = time.perf_counter()
+        with jax.profiler.TraceAnnotation("mobiclip.device_decode"):
+            self.ring, yuv = _decode_round(self.ring, ops, coefs, sizes,
+                                           self.height, self.stride,
+                                           self.interpret)
+            out = np.asarray(yuv)
+        t2 = time.perf_counter()
+        m = self.metrics
+        m.frames += self.B
+        m.bytes_in += sum(len(p) for p in packets)
+        m.scan_seconds += t1 - t0
+        m.device_seconds += t2 - t1
+        m.wall_seconds += t2 - t0
+        return out
 
 
 class VmemVideoDecoder(VmemBatchDecoder):

@@ -30,6 +30,34 @@ class DecodedFrame:
     v: np.ndarray
     keyframe: bool
     pcm: np.ndarray | None  # interleaved int16 for this frame, or None
+    corrupt: bool = False   # video decode raised; planes are best-effort
+
+
+def _decode_contained(dec, pkt: bytes):
+    """Per-frame error containment, mirroring the reference player's
+    swallow-and-show-current-state policy (`catch {}`,
+    MobiclipDecoder.cs:325-326): on a decode exception the oracle's planes
+    hold the partially-decoded frame; the device engine falls back to its
+    last committed frame.  Returns (y, uv, end_offset, corrupt)."""
+    if isinstance(dec, OracleDecoder):
+        S = dec.stride
+        try:
+            dec.decode_frame()
+            corrupt = False
+        except Exception:
+            corrupt = True
+        return (dec.y_planes[0].reshape(-1, S),
+                dec.uv_planes[0].reshape(-1, S), dec.offset, corrupt)
+    try:
+        y, uv = dec.decode_frame(pkt)
+        return y, uv, dec.offset, False
+    except Exception:
+        # ring slot 0 = last successfully committed frame (the ring is only
+        # advanced when a round completes)
+        H, S = dec.height, dec.stride
+        prev = np.asarray(dec.ring[0, 0]).reshape(-1, S + 128)
+        prev = prev[8:8 + H + H // 2, 8:8 + S].astype(np.uint8)
+        return prev[:H], prev[H:], len(pkt), True
 
 
 def _make_video_decoder(width: int, height: int, version: MobiclipVersion,
@@ -76,15 +104,9 @@ def decode_mods(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
         if isinstance(dec, OracleDecoder):
             dec.data = pkt
             dec.offset = 0
-            dec.decode_frame()
-            y = dec.y_planes[0].reshape(-1, S)
-            uv = dec.uv_planes[0].reshape(-1, S)
-            end_off = dec.offset
-        else:
-            y, uv = dec.decode_frame(pkt)
-            end_off = dec.offset
+        y, uv, end_off, corrupt = _decode_contained(dec, pkt)
         pcm = None
-        if n_audio > 0 and has_audio:
+        if n_audio > 0 and has_audio and not corrupt:
             # audio starts where the video bit reader stopped, minus its
             # one-word over-read (Program.cs:250-252); TagId 'N3' quirk: +4
             off = end_off - 2
@@ -133,7 +155,7 @@ def decode_mods(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
             y=y[:H, :W].copy(),
             u=uv[:H // 2, :W // 2].copy(),
             v=uv[:H // 2, S // 2:S // 2 + W // 2].copy(),
-            keyframe=is_key, pcm=pcm)
+            keyframe=is_key, pcm=pcm, corrupt=corrupt)
         frame_idx += 1
 
 
@@ -362,11 +384,7 @@ def decode_moflex(data: bytes, engine: str = "oracle",
             if isinstance(dec, OracleDecoder):
                 dec.data = payload
                 dec.offset = 0
-                dec.decode_frame()
-                y = dec.y_planes[0].reshape(-1, state["S"])
-                uv = dec.uv_planes[0].reshape(-1, state["S"])
-            else:
-                y, uv = dec.decode_frame(payload)
+            y, uv, _end, corrupt = _decode_contained(dec, payload)
             W, H, S = state["W"], state["H"], state["S"]
             pcm = (np.concatenate(pcm_pending) if pcm_pending else None)
             pcm_pending.clear()
@@ -374,9 +392,15 @@ def decode_moflex(data: bytes, engine: str = "oracle",
                 index=state["idx"], y=y[:H, :W].copy(),
                 u=uv[:H // 2, :W // 2].copy(),
                 v=uv[:H // 2, S // 2:S // 2 + W // 2].copy(),
-                keyframe=False, pcm=pcm))
+                keyframe=False, pcm=pcm, corrupt=corrupt))
             state["idx"] += 1
         elif isinstance(chunk, AudioStream):
+            try:
+                _decode_audio_chunk(chunk, payload)
+            except Exception:
+                pass  # corrupt audio packet: drop it, keep the stream going
+
+    def _decode_audio_chunk(chunk, payload: bytes) -> None:
             ch = chunk.channels
             if chunk.codec_id == 1:  # IMA ADPCM (Form1.cs:601-630)
                 decs = [ImaAdpcmDecoder() for _ in range(ch)]
@@ -443,16 +467,12 @@ def decode_moc5(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
         if isinstance(dec, OracleDecoder):
             dec.data = pkt
             dec.offset = 0
-            dec.decode_frame()
-            y = dec.y_planes[0].reshape(-1, S)
-            uv = dec.uv_planes[0].reshape(-1, S)
-        else:
-            y, uv = dec.decode_frame(pkt)
+        y, uv, _end, corrupt = _decode_contained(dec, pkt)
         yield DecodedFrame(
             index=i, y=y[:h.height, :h.width].copy(),
             u=uv[:h.height // 2, :h.width // 2].copy(),
             v=uv[:h.height // 2, S // 2:S // 2 + h.width // 2].copy(),
-            keyframe=(i == 0), pcm=None)
+            keyframe=(i == 0), pcm=None, corrupt=corrupt)
 
 
 def decode_vx2(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
@@ -467,16 +487,12 @@ def decode_vx2(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
         if isinstance(dec, OracleDecoder):
             dec.data = pkt
             dec.offset = 0
-            dec.decode_frame()
-            y = dec.y_planes[0].reshape(-1, S)
-            uv = dec.uv_planes[0].reshape(-1, S)
-        else:
-            y, uv = dec.decode_frame(pkt)
+        y, uv, _end, corrupt = _decode_contained(dec, pkt)
         yield DecodedFrame(
             index=i, y=y[:VX2_HEIGHT, :VX2_WIDTH].copy(),
             u=uv[:VX2_HEIGHT // 2, :VX2_WIDTH // 2].copy(),
             v=uv[:VX2_HEIGHT // 2, S // 2:S // 2 + VX2_WIDTH // 2].copy(),
-            keyframe=(i == 0),
+            keyframe=(i == 0), corrupt=corrupt,
             pcm=(np.frombuffer(pcm, dtype="<i2").copy()
                  if pcm is not None else None))
 

@@ -1,0 +1,140 @@
+"""Fault injection (SURVEY.md §5 failure detection): corrupt streams must be
+contained, resynchronized, or rescheduled — never silently wrong.
+
+Two tiers, mirroring the reference's design:
+  * container tier: the Moflex demuxer desynchronizes and rescans for the
+    sync pattern (MoLiveDemux.cs:57-65, numeric error codes :81-258);
+  * decode tier: a failed GOP shard is idempotent and restartable from its
+    keyframe (ShardProgress) — the checkpoint/resume story, since keyframes
+    reset all decoder state (MobiclipDecoder.cs:231-236).
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from mobiclipdecoder_tpu.models.oracle_video import (MobiclipVersion,  # noqa
+                                                     OracleDecoder)
+from mobiclipdecoder_tpu.testing.synth import StreamSynthesizer  # noqa
+
+
+def _decode_stream(blob, seeds=(0,)):
+    from mobiclipdecoder_tpu.runtime.transcode import decode_mods
+    return [f.y for f in decode_mods(blob, engine="oracle")]
+
+
+def test_bitflip_video_is_contained():
+    """Random bit flips in video payloads either decode (to wrong pixels) or
+    raise a clean ValueError/IndexError — never hang, never crash the
+    process.  (The oracle intentionally raises where the C# reference
+    swallows exceptions, SURVEY.md §5.)"""
+    W, H = 64, 48
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        synth = StreamSynthesizer(W, H, MobiclipVersion.MODS_DS, seed=trial)
+        dec = OracleDecoder(W, H, MobiclipVersion.MODS_DS)
+        pkt = bytearray(synth.iframe(0x18))
+        bit = int(rng.integers(16, len(pkt) * 8))   # keep the header intact
+        pkt[bit // 8] ^= 1 << (bit % 8)
+        dec.data = bytes(pkt)
+        dec.offset = 0
+        try:
+            dec.decode_frame()
+        except (ValueError, IndexError, KeyError):
+            pass  # clean containment
+
+
+def test_moflex_bitflip_resyncs_and_keeps_later_frames():
+    """Corrupting one Moflex packet must not lose the rest of the file: the
+    demuxer rescans for the `4C 32` sync pattern and later packets decode."""
+    from mobiclipdecoder_tpu.containers.moflex import (MoflexMuxer,
+                                                       VideoStream)
+    W, H = 64, 48
+    synth = StreamSynthesizer(W, H, MobiclipVersion.MOFLEX_3DS, seed=3)
+    mux = MoflexMuxer([VideoStream(stream_index=0, codec_id=0, fps_rate=24000,
+                                   fps_scale=1000, width=W, height=H)])
+    for i in range(6):
+        mux.add_frame(0, synth.iframe(0x18) if i == 0 else synth.pframe())
+    blob = bytearray(mux.to_bytes())
+
+    from mobiclipdecoder_tpu.runtime.transcode import decode_moflex
+    clean = list(decode_moflex(bytes(blob), engine="oracle"))
+    assert len(clean) == 6
+
+    # smash 64 bytes at several offsets: the pipeline must always terminate
+    # and keep at least one frame (payload damage decodes to garbage pixels;
+    # packet-header damage drops packets and resyncs on the `4C 32` scan)
+    damaged = False
+    for cut in (0x40, len(blob) // 3, len(blob) // 2, 2 * len(blob) // 3):
+        b2 = bytearray(blob)
+        b2[cut:cut + 64] = bytes(64)
+        frames = list(decode_moflex(bytes(b2), engine="oracle"))
+        assert 0 <= len(frames) <= 6
+        if len(frames) < 6 or any(f.corrupt for f in frames):
+            damaged = True
+        # later frames must not all be lost on a mid-file corruption
+        if cut >= len(blob) // 2:
+            assert len(frames) >= 1
+    # at least one corruption must be visible as frame loss or a contained
+    # decode error (proving containment/resync actually engaged)
+    assert damaged
+
+
+def test_gop_shard_restart_is_idempotent():
+    """A failed shard reruns from its keyframe with identical output."""
+    from test_mods_e2e import _build_fixture
+    from mobiclipdecoder_tpu.parallel.gop import (ShardProgress, assign_shards,
+                                                  shard_mods)
+    blob = _build_fixture(nframes=6, key_at=(0, 3))
+    shards = shard_mods(blob)
+    assert len(shards) == 2
+    assert [s.first_frame for s in shards] == [0, 3]
+
+    def decode_shard(shard):
+        dec = OracleDecoder(64, 48, MobiclipVersion.MODS_DS)
+        outs = []
+        for pkt in shard.packets:
+            dec.data = pkt
+            dec.offset = 0
+            dec.decode_frame()
+            outs.append(dec.y_planes[0].copy())
+        return outs
+
+    first = decode_shard(shards[1])
+    # "fail", then restart from the keyframe: identical output
+    again = decode_shard(shards[1])
+    for a, b in zip(first, again):
+        np.testing.assert_array_equal(a, b)
+
+    prog = ShardProgress()
+    prog.mark(shards[0])
+    assert prog.pending(shards) == [shards[1]]
+    # worker assignment is deterministic for rescheduling
+    a0 = assign_shards(shards, 2, 0)
+    a1 = assign_shards(shards, 2, 1)
+    assert sorted(s.gop_index for s in a0 + a1) == [0, 1]
+
+
+def test_truncated_container_is_contained():
+    from test_mods_e2e import _build_fixture
+    from mobiclipdecoder_tpu.containers.mods import ModsDemuxer
+    blob = _build_fixture()
+    # header cut short: clean exception or a demuxer that yields nothing
+    try:
+        dm = ModsDemuxer(blob[:16])
+        assert dm.read_frame() is None
+    except Exception:
+        pass
+    # body truncated mid-GOP: fewer frames (or a clean parse error), never
+    # a hang or a full frame count
+    n = 0
+    try:
+        dm = ModsDemuxer(blob[:len(blob) // 2])
+        while dm.read_frame() is not None:
+            n += 1
+    except Exception:
+        pass
+    assert n < 6
