@@ -413,10 +413,10 @@ def _build_executor(B: int, H: int, S: int, nops: int, nr: int,
                     interpret: bool):
     _hh, G8, SP = _geom(H, S)
     kernel = _make_kernel(H, S, G8, SP, interpret)
+    # NOTE: keep the LUTs as host numpy here — the builder is lru_cached and
+    # may first run inside a trace; jnp arrays created there would leak
+    # tracers into later traces.
     wt, wl, kind = _lut_tables()
-    wt = jnp.asarray(wt)
-    wl = jnp.asarray(wl)
-    kind = jnp.asarray(kind)
 
     nchunk = nops // CHUNK
     call = pl.pallas_call(
@@ -485,6 +485,81 @@ def _decode_round(ring, ops, coefs, sizes, H: int, S: int, interpret: bool):
     ringn = ringn.at[:, 0].set(out.reshape(B, G8, 8, SP))
     yuv = out.reshape(B, G8 * 8, SP)[:, MR:MR + HH, MCOL:MCOL + S]
     return ringn, yuv.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nchunk", "nr", "H", "S", "interpret"),
+                   donate_argnums=(0,))
+def _decode_round_blob(ring, blob, nchunk: int, nr: int, H: int, S: int,
+                       interpret: bool):
+    """Single-upload frame round: ops+coefs+sizes ship as ONE int32 blob
+    (each device_put is a host round trip on a tunneled chip — measured ~1 ms
+    apiece — so three arguments cost more than the decode itself)."""
+    B = ring.shape[0]
+    a = B * nchunk * CHUNK * 4
+    b = a + B * nr * 64
+    ops = blob[:a].reshape(B, nchunk, CHUNK, 4)
+    coefs = blob[a:b].reshape(B, nr, 64)
+    sizes = blob[b:b + B * nr].reshape(B, nr)
+    return _decode_round(ring, ops, coefs, sizes, H, S, interpret)
+
+
+def _pack_blob(ops, coefs, sizes) -> np.ndarray:
+    return np.concatenate([ops.ravel(), coefs.ravel(), sizes.ravel()])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nchunk", "nr", "H", "S", "interpret"),
+                   donate_argnums=(0, 1))
+def _decode_round_acc(ring, acc, blob, f, nchunk: int, nr: int, H: int,
+                      S: int, interpret: bool):
+    """Frame round that also writes its output into row ``f`` of a
+    device-resident (F, B, HH, S) accumulator, so a whole GOP needs only ONE
+    device->host download at the end (a fetch costs a fixed ~0.1 s through
+    the remote tunnel; on local hosts it simply batches PCIe traffic)."""
+    B = ring.shape[0]
+    a = B * nchunk * CHUNK * 4
+    b = a + B * nr * 64
+    ops = blob[:a].reshape(B, nchunk, CHUNK, 4)
+    coefs = blob[a:b].reshape(B, nr, 64)
+    sizes = blob[b:b + B * nr].reshape(B, nr)
+    ring, yuv = _decode_round(ring, ops, coefs, sizes, H, S, interpret)
+    return ring, jax.lax.dynamic_update_index_in_dim(acc, yuv, f, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "S", "interpret"),
+                   donate_argnums=(0,))
+def _decode_gop(ring, ops, coefs, sizes, H: int, S: int, interpret: bool):
+    """Whole-GOP decode in ONE dispatch: lax.scan over frame rounds with the
+    reference ring as carry.  Collapses F host->device round trips into one
+    upload + one download — the dominant cost on a tunneled chip; on a local
+    host it amortizes dispatch overhead the same way.
+
+    ops: (F, B, NCHUNK, CHUNK, 4); coefs: (F, B, NR, 64); sizes: (F, B, NR).
+    Returns (ring, yuv (F, B, HH, S) uint8).
+    """
+    F, B = ops.shape[0], ops.shape[1]
+    nops = ops.shape[2] * ops.shape[3]
+    nr = coefs.shape[2]
+    HH, G8, SP = _geom(H, S)
+    run = _build_executor(B, H, S, nops, nr, interpret)
+
+    def step(ring, xs):
+        fops, fcoefs, fsizes = xs
+        flat = fcoefs.reshape(B * nr, 64)
+        r8 = idct8(flat.reshape(-1, 8, 8))
+        r4 = jnp.pad(idct4(flat[:, :16].reshape(-1, 4, 4)),
+                     ((0, 0), (0, 4), (0, 4)))
+        resid = jnp.where((fsizes.reshape(-1) == 4)[:, None, None], r4, r8)
+        ringn = jnp.roll(ring, 1, axis=1)
+        out = run(fops.reshape(B * nops, 4),
+                  ringn.reshape(B * 6 * G8, 8, SP),
+                  resid.reshape(B * nr, 64))
+        ringn = ringn.at[:, 0].set(out.reshape(B, G8, 8, SP))
+        yuv = out.reshape(B, G8 * 8, SP)[:, MR:MR + HH, MCOL:MCOL + S]
+        return ringn, yuv.astype(jnp.uint8)
+
+    return jax.lax.scan(step, ring, (ops, coefs, sizes))
 
 
 # ==================================================================== driver
@@ -559,14 +634,66 @@ class VmemBatchDecoder:
             ops, coefs, sizes = self.scan_packets(packets)
         t1 = time.perf_counter()
         with jax.profiler.TraceAnnotation("mobiclip.device_decode"):
-            self.ring, yuv = _decode_round(self.ring, ops, coefs, sizes,
-                                           self.height, self.stride,
-                                           self.interpret)
+            self.ring, yuv = _decode_round_blob(
+                self.ring, _pack_blob(ops, coefs, sizes),
+                ops.shape[1], coefs.shape[1], self.height, self.stride,
+                self.interpret)
             out = np.asarray(yuv)
         t2 = time.perf_counter()
         m = self.metrics
         m.frames += self.B
         m.bytes_in += sum(len(p) for p in packets)
+        m.scan_seconds += t1 - t0
+        m.device_seconds += t2 - t1
+        m.wall_seconds += t2 - t0
+        return out
+
+
+    def decode_gop(self, frames: list[list[bytes]],
+                   single_dispatch: bool = False) -> np.ndarray:
+        """frames[f][b] = packet of frame f of stream b; returns
+        (F, B, HH, S) uint8.
+
+        Default: one dispatch per frame round, ONE device->host download for
+        the whole GOP (a result fetch costs a fixed ~50-200 ms through this
+        chip's tunnel, so per-frame downloads dominate everything else).
+        ``single_dispatch=True`` instead runs the whole GOP as one
+        lax.scan program — the right shape for directly-attached TPUs, but
+        measured pathological through the remote-execution tunnel."""
+        import time
+        t0 = time.perf_counter()
+        with jax.profiler.TraceAnnotation("mobiclip.scan"):
+            per = [self.scan_packets(fp) for fp in frames]
+        t1 = time.perf_counter()
+        F = len(per)
+        with jax.profiler.TraceAnnotation("mobiclip.device_decode"):
+            if single_dispatch:
+                nchunk = max(p[0].shape[1] for p in per)
+                nr = max(p[1].shape[1] for p in per)
+                ops = np.zeros((F, self.B, nchunk, CHUNK, 4), np.int32)
+                coefs = np.zeros((F, self.B, nr, 64), np.int32)
+                sizes = np.full((F, self.B, nr), 8, np.int32)
+                for f, (o, c, s) in enumerate(per):
+                    ops[f, :, :o.shape[1]] = o
+                    coefs[f, :, :c.shape[1]] = c
+                    sizes[f, :, :s.shape[1]] = s
+                self.ring, yuv = _decode_gop(self.ring, ops, coefs, sizes,
+                                             self.height, self.stride,
+                                             self.interpret)
+                out = np.asarray(yuv)
+            else:
+                HH = self.height + self.height // 2
+                acc = jnp.zeros((F, self.B, HH, self.stride), jnp.uint8)
+                for f, (ops, coefs, sizes) in enumerate(per):
+                    self.ring, acc = _decode_round_acc(
+                        self.ring, acc, _pack_blob(ops, coefs, sizes), f,
+                        ops.shape[1], coefs.shape[1], self.height,
+                        self.stride, self.interpret)
+                out = np.asarray(acc)
+        t2 = time.perf_counter()
+        m = self.metrics
+        m.frames += F * self.B
+        m.bytes_in += sum(len(p) for fp in frames for p in fp)
         m.scan_seconds += t1 - t0
         m.device_seconds += t2 - t1
         m.wall_seconds += t2 - t0

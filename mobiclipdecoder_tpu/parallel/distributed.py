@@ -21,7 +21,8 @@ from pathlib import Path
 import numpy as np
 
 from ..models.oracle_video import MobiclipVersion
-from .gop import GopShard, ShardProgress, assign_shards, shard_mods
+from .gop import (GopShard, ShardProgress, assign_shards, shard_mods,
+                  shard_moflex)
 
 
 def init_distributed(coordinator: str | None = None,
@@ -45,9 +46,10 @@ def shard_corpus(files: list[str | Path]) -> list[GopShard]:
         data = Path(f).read_bytes()
         if data[:4] == b"MODS":
             shards.extend(shard_mods(data, file_id=fid))
+        elif data[:2] == b"\x4c\x32":
+            shards.extend(shard_moflex(data, file_id=fid))
         else:
-            raise ValueError(f"{f}: only MODS corpora are GOP-shardable "
-                             "today (Moflex synchro-cut sharding: todo)")
+            raise ValueError(f"{f}: not a GOP-shardable container")
     return shards
 
 
@@ -70,7 +72,7 @@ def run_worker(files: list[str | Path], out_dir: str | Path,
     Idempotent: a ledger at <out_dir>/worker<k>.ledger.jsonl records finished
     shards; rerunning (e.g. after a preemption) resumes from partial
     progress.  Returns summary stats."""
-    from ..containers.mods import ModsDemuxer
+    from ..runtime.transcode import probe_info
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     ledger_path = out_dir / f"worker{worker_id}.ledger.jsonl"
@@ -80,17 +82,23 @@ def run_worker(files: list[str | Path], out_dir: str | Path,
     mine = assign_shards(all_shards, n_workers, worker_id)
     pending = prog.pending(mine)
 
-    # geometry per file (all MODS here)
+    # geometry + codec profile per file
     geos = {}
     for fid, f in enumerate(files):
-        h = ModsDemuxer(Path(f).read_bytes()).header
-        geos[fid] = (h.width, h.height)
+        info = probe_info(f)
+        if info["container"] == "moflex":
+            vs = [s for s in info["streams"] if s["type"] == "video"][0]
+            geos[fid] = (vs["width"], vs["height"],
+                         MobiclipVersion.MOFLEX_3DS)
+        else:
+            geos[fid] = (info["width"], info["height"],
+                         MobiclipVersion.MODS_DS)
 
     frames = 0
     with open(ledger_path, "a") as ledger:
         for shard in pending:
-            W, H = geos[shard.file_id]
-            dec = _make_decoder(W, H, engine)
+            W, H, ver = geos[shard.file_id]
+            dec = _make_decoder(W, H, engine, ver)
             planes = []
             for pkt in shard.packets:
                 y, uv = _decode_one(dec, pkt)
@@ -109,12 +117,13 @@ def run_worker(files: list[str | Path], out_dir: str | Path,
             "shards_skipped": len(mine) - len(pending), "frames": frames}
 
 
-def _make_decoder(W: int, H: int, engine: str):
+def _make_decoder(W: int, H: int, engine: str,
+                  version=MobiclipVersion.MODS_DS):
     if engine == "oracle":
         from ..models.oracle_video import OracleDecoder
-        return OracleDecoder(W, H, MobiclipVersion.MODS_DS)
+        return OracleDecoder(W, H, version)
     from ..ops.vmem_engine import VmemVideoDecoder
-    return VmemVideoDecoder(W, H, MobiclipVersion.MODS_DS)
+    return VmemVideoDecoder(W, H, version)
 
 
 def _decode_one(dec, pkt: bytes):

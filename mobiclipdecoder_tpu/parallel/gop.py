@@ -64,6 +64,56 @@ def shard_mods(data: bytes, file_id: int = 0) -> list[GopShard]:
     return shards
 
 
+def shard_moflex(data: bytes, file_id: int = 0,
+                 video_stream: int | None = None) -> list[GopShard]:
+    """Cut a Moflex file's video stream into GOP shards at its I-frames.
+
+    Moflex has no keyframe index; the cut points are the frames whose
+    Mobiclip header marks an I-frame — bit 31 of the bit reader's initial
+    register, i.e. bit 7 of the packet's second byte (the decoder seeds
+    r3 = u16LE << 16, MobiclipDecoder.cs:110-113).  Synchro headers with
+    timestamps are the container-level resume points (MoLiveDemux.cs:124).
+    """
+    from ..containers.moflex import (MoflexDemuxer, VideoStream,
+                                     VideoStreamWithLayout)
+    frames: list[bytes] = []
+    state = {"vid": video_stream}
+
+    def on_frame(chunk, payload):
+        if isinstance(chunk, (VideoStream, VideoStreamWithLayout)):
+            if state["vid"] is None:
+                state["vid"] = chunk.stream_index
+            if chunk.stream_index == state["vid"]:
+                frames.append(payload)
+    dm = MoflexDemuxer(data, on_frame=on_frame)
+    last = -1
+    stall = 0
+    while True:
+        r = dm.read_packet()
+        if r in (1, 0x80):
+            break
+        if dm.position == last:
+            stall += 1
+            if stall > 2:
+                break
+        else:
+            stall = 0
+        last = dm.position
+    keyflags = [len(p) >= 2 and bool(p[1] & 0x80) for p in frames]
+    if frames:
+        keyflags[0] = True
+    shards = []
+    start = 0
+    for i in range(1, len(frames) + 1):
+        if i == len(frames) or keyflags[i]:
+            shards.append(GopShard(
+                file_id=file_id, gop_index=len(shards), first_frame=start,
+                frame_count=i - start, packets=tuple(frames[start:i]),
+                audio_counts=tuple(0 for _ in range(i - start))))
+            start = i
+    return shards
+
+
 def assign_shards(shards: list[GopShard], n_workers: int,
                   worker_id: int) -> list[GopShard]:
     """Deterministic round-robin assignment (size-balanced greedy)."""

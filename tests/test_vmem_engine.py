@@ -66,3 +66,18 @@ def test_vmem_batch_matches_single():
             exp = np.concatenate([o.y_planes[0].reshape(-1, S),
                                   o.uv_planes[0].reshape(-1, S)], axis=0)
             assert (out[b] == exp).all(), f"frame {i} stream {b}"
+
+
+def test_vmem_decode_gop_matches_per_frame():
+    W, H = 64, 48
+    v = MobiclipVersion.MODS_DS
+    F, B = 4, 2
+    synths = [StreamSynthesizer(W, H, v, seed=s) for s in (11, 12)]
+    frames = [[s.iframe(0x18) if f == 0 else s.pframe() for s in synths]
+              for f in range(F)]
+    a = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    b = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    gop = a.decode_gop(frames)
+    for f in range(F):
+        per = b.decode_frames(frames[f])
+        np.testing.assert_array_equal(gop[f], per)
