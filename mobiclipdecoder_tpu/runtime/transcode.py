@@ -60,14 +60,27 @@ def _decode_contained(dec, pkt: bytes):
         return prev[:H], prev[H:], len(pkt), True
 
 
+def width_stride(width: int) -> int:
+    """Reference stride policy (MobiclipDecoder.cs:50-52)."""
+    return 256 if width <= 256 else (512 if width <= 512 else 1024)
+
+
 def _make_video_decoder(width: int, height: int, version: MobiclipVersion,
                         engine: str):
     if engine == "oracle":
         return OracleDecoder(width, height, version)
     if engine == "tpu":
-        # the VMEM sequential-executor kernel: the single-chip hot path
-        from ..ops.vmem_engine import VmemVideoDecoder
-        return VmemVideoDecoder(width, height, version)
+        # the VMEM sequential-executor kernel: the single-chip hot path.
+        # Its 6-slot ring must fit VMEM; Wii-size frames (stride 1024, e.g.
+        # MOC5 640x480) exceed it, so they take the wavefront XLA engine,
+        # which tiles over HBM instead (SURVEY.md §5 long-context analog).
+        hh = height + height // 2
+        ring_bytes = 6 * (hh + 32) * (width_stride(width) + 128) * 4
+        if ring_bytes <= 12 * 2 ** 20:
+            from ..ops.vmem_engine import VmemVideoDecoder
+            return VmemVideoDecoder(width, height, version)
+        from ..models.pipeline import JaxVideoDecoder
+        return JaxVideoDecoder(width, height, version)
     if engine == "tpu-xla":
         # the wavefront XLA engine (mesh-shardable; slower single-chip)
         from ..models.pipeline import JaxVideoDecoder
