@@ -191,9 +191,7 @@ class OracleDecoder:
         instead of swallowing them (MobiclipDecoder.cs:325 `catch {}`).
         """
         if self.version == MobiclipVersion.VX_DS:
-            raise NotImplementedError(
-                "Vx (old DS) decode is a stub in the reference too "
-                "(MobiclipDecoder.cs:63-95)")
+            return self._decode_vxs1()
         S, H, W = self.stride, self.height, self.width
         for i in range(5, 0, -1):
             self.y_planes[i] = self.y_planes[i - 1]
@@ -217,6 +215,34 @@ class OracleDecoder:
             self._decode_iframe()
         if rgb:
             return self.to_rgb()
+        return self.y_planes[0], self.uv_planes[0]
+
+    def _decode_vxs1(self):
+        """DecodeVXS1 stub parity (MobiclipDecoder.cs:63-95): one varint per
+        16x16 block; only value 1 ("skip": copy the co-located block from
+        the previous frame) is implemented upstream — anything else throws
+        NotImplementedException, and so do we.  Full .vx decode is an
+        upstream TODO (README.md:13)."""
+        S, H = self.stride, self.height
+        for i in range(5, 0, -1):
+            self.y_planes[i] = self.y_planes[i - 1]
+            self.uv_planes[i] = self.uv_planes[i - 1]
+        self.y_planes[0] = self.y_planes[1].copy() if self.y_planes[1] is not \
+            None else np.zeros(S * H, dtype=np.uint8)
+        self.uv_planes[0] = self.uv_planes[1].copy() if self.uv_planes[1] \
+            is not None else np.zeros(S * H // 2, dtype=np.uint8)
+        self._r3 = ((self.data[self.offset]
+                     | (self.data[self.offset + 1] << 8)) << 16) & _M32
+        self.offset += 2
+        self._nb = 0
+        for _my in range(0, self.height, 16):
+            for _mx in range(0, self.width, 16):
+                v = self._varint_u()
+                if v != 1:
+                    raise NotImplementedError(
+                        "Vx block mode %d: only skip (1) is implemented, "
+                        "matching the reference stub "
+                        "(MobiclipDecoder.cs:75-94)" % v)
         return self.y_planes[0], self.uv_planes[0]
 
     def _decode_iframe(self) -> None:

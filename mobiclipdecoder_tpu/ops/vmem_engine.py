@@ -456,9 +456,8 @@ def _build_executor(B: int, H: int, S: int, nops: int, nr: int,
     return run
 
 
-@functools.partial(jax.jit, static_argnames=("H", "S", "interpret"),
-                   donate_argnums=(0,))
-def _decode_round(ring, ops, coefs, sizes, H: int, S: int, interpret: bool):
+def _decode_round_impl(ring, ops, coefs, sizes, H: int, S: int,
+                       interpret: bool):
     """One frame round for a (B, ...) stream batch.
 
     ring: (B, 6, G8, 8, SP) int32; ops: (B, NOPS, 4) int32 (row 0 = header);
@@ -485,6 +484,36 @@ def _decode_round(ring, ops, coefs, sizes, H: int, S: int, interpret: bool):
     ringn = ringn.at[:, 0].set(out.reshape(B, G8, 8, SP))
     yuv = out.reshape(B, G8 * 8, SP)[:, MR:MR + HH, MCOL:MCOL + S]
     return ringn, yuv.astype(jnp.uint8)
+
+
+_decode_round = functools.partial(jax.jit, static_argnames=("H", "S",
+                                                            "interpret"),
+                                  donate_argnums=(0,))(_decode_round_impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_round(mesh, H: int, S: int, interpret: bool):
+    """shard_map'd frame round: the stream batch splits over the mesh's
+    'data' axis (corpus data parallelism); each device runs the full VMEM
+    kernel on its local shard.  Streams are independent, so no collectives
+    cross ICI — scaling is embarrassingly parallel by construction."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(ring, ops, coefs, sizes):
+        return _decode_round_impl(ring, ops, coefs, sizes, H, S, interpret)
+
+    sm = shard_map(fn, mesh=mesh,
+                   in_specs=(P("data"), P("data"), P("data"), P("data")),
+                   out_specs=(P("data"), P("data")), check_rep=False)
+    return jax.jit(sm, donate_argnums=(0,))
+
+
+def decode_round_sharded(mesh, ring, ops, coefs, sizes, H: int, S: int,
+                         interpret: bool):
+    """Multi-device frame round (B must be divisible by the data-axis
+    size).  Returns (ring, yuv) like _decode_round."""
+    return _sharded_round(mesh, H, S, interpret)(ring, ops, coefs, sizes)
 
 
 @functools.partial(jax.jit,

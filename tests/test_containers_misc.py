@@ -71,3 +71,32 @@ def test_vx_header_variants():
     struct.pack_into("<4I", base, 0x1C, 1000, 0x40, 0x50, 1)
     h2 = VxHeader.parse(bytes(base))
     assert h2.channel_count == 0 and h2.biggest_frame == 1000
+
+
+def test_vx_decode_stub_parity():
+    """DecodeVXS1 stub: skip blocks copy the previous frame; any other mode
+    raises NotImplementedError like the reference
+    (MobiclipDecoder.cs:63-95)."""
+    import numpy as np
+    import pytest
+    from mobiclipdecoder_tpu.models.oracle_video import (MobiclipVersion,
+                                                         OracleDecoder)
+    from mobiclipdecoder_tpu.utils.bitio import BitWriter
+
+    W, H = 32, 32
+    dec = OracleDecoder(W, H, MobiclipVersion.VX_DS)
+    bw = BitWriter()
+    for _ in range((W // 16) * (H // 16)):
+        bw.write_varint_u(1)            # all-skip frame
+    dec.data = bw.to_bytes() + b"\x00\x00"
+    dec.offset = 0
+    y, uv = dec.decode_frame()
+    assert (np.asarray(y) == 0).all()   # skip of the (zero) previous frame
+
+    bw = BitWriter()
+    bw.write_varint_u(2)                # unsupported mode
+    dec2 = OracleDecoder(W, H, MobiclipVersion.VX_DS)
+    dec2.data = bw.to_bytes() + b"\x00\x00"
+    dec2.offset = 0
+    with pytest.raises(NotImplementedError):
+        dec2.decode_frame()

@@ -81,3 +81,37 @@ def test_vmem_decode_gop_matches_per_frame():
     for f in range(F):
         per = b.decode_frames(frames[f])
         np.testing.assert_array_equal(gop[f], per)
+
+
+def test_vmem_sharded_round_matches_unsharded():
+    """The shard_map'd VMEM round over an 8-device CPU mesh must equal the
+    single-device round exactly (streams are independent)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from mobiclipdecoder_tpu.ops.vmem_engine import (_decode_round,
+                                                     decode_round_sharded)
+
+    W, H = 64, 48
+    v = MobiclipVersion.MODS_DS
+    B = 8
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("data",))
+    synths = [StreamSynthesizer(W, H, v, seed=s) for s in range(B)]
+    bd = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    # independent buffers: the round donates its ring argument
+    import jax.numpy as jnp
+    ring_a = jnp.zeros_like(bd.ring)
+    ring_b = jnp.zeros_like(bd.ring)
+    for i in range(2):
+        pkts = [s.iframe(0x18) if i == 0 else s.pframe() for s in synths]
+        ops, coefs, sizes = bd.scan_packets(pkts)
+        ops4 = ops.reshape(B, -1, 4)
+        ring_a, ya = _decode_round(ring_a, ops.reshape(B, ops.shape[1],
+                                                       ops.shape[2], 4),
+                                   coefs, sizes, H, bd.stride, True)
+        ring_b, yb = decode_round_sharded(mesh, ring_b,
+                                          ops.reshape(B, ops.shape[1],
+                                                      ops.shape[2], 4),
+                                          coefs, sizes, H, bd.stride, True)
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
