@@ -497,7 +497,7 @@ def _sharded_round(mesh, H: int, S: int, interpret: bool):
     'data' axis (corpus data parallelism); each device runs the full VMEM
     kernel on its local shard.  Streams are independent, so no collectives
     cross ICI — scaling is embarrassingly parallel by construction."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def fn(ring, ops, coefs, sizes):
@@ -505,7 +505,7 @@ def _sharded_round(mesh, H: int, S: int, interpret: bool):
 
     sm = shard_map(fn, mesh=mesh,
                    in_specs=(P("data"), P("data"), P("data"), P("data")),
-                   out_specs=(P("data"), P("data")), check_rep=False)
+                   out_specs=(P("data"), P("data")))
     return jax.jit(sm, donate_argnums=(0,))
 
 
@@ -683,20 +683,22 @@ class VmemBatchDecoder:
         """frames[f][b] = packet of frame f of stream b; returns
         (F, B, HH, S) uint8.
 
-        Default: one dispatch per frame round, ONE device->host download for
-        the whole GOP (a result fetch costs a fixed ~50-200 ms through this
-        chip's tunnel, so per-frame downloads dominate everything else).
-        ``single_dispatch=True`` instead runs the whole GOP as one
+        Default: pipelined — frame f+1 is scanned on the host WHILE the
+        device decodes frame f (dispatches are async), and the whole GOP is
+        downloaded ONCE at the end (a result fetch costs a fixed ~50-200 ms
+        through this chip's tunnel, so per-frame downloads dominate
+        everything else).  Wall clock ~ max(scan, device) instead of their
+        sum.  ``single_dispatch=True`` instead runs the whole GOP as one
         lax.scan program — the right shape for directly-attached TPUs, but
         measured pathological through the remote-execution tunnel."""
         import time
         t0 = time.perf_counter()
-        with jax.profiler.TraceAnnotation("mobiclip.scan"):
-            per = [self.scan_packets(fp) for fp in frames]
-        t1 = time.perf_counter()
-        F = len(per)
-        with jax.profiler.TraceAnnotation("mobiclip.device_decode"):
-            if single_dispatch:
+        F = len(frames)
+        if single_dispatch:
+            with jax.profiler.TraceAnnotation("mobiclip.scan"):
+                per = [self.scan_packets(fp) for fp in frames]
+            t1 = time.perf_counter()
+            with jax.profiler.TraceAnnotation("mobiclip.device_decode"):
                 nchunk = max(p[0].shape[1] for p in per)
                 nr = max(p[1].shape[1] for p in per)
                 ops = np.zeros((F, self.B, nchunk, CHUNK, 4), np.int32)
@@ -710,21 +712,30 @@ class VmemBatchDecoder:
                                              self.height, self.stride,
                                              self.interpret)
                 out = np.asarray(yuv)
-            else:
-                HH = self.height + self.height // 2
-                acc = jnp.zeros((F, self.B, HH, self.stride), jnp.uint8)
-                for f, (ops, coefs, sizes) in enumerate(per):
-                    self.ring, acc = _decode_round_acc(
-                        self.ring, acc, _pack_blob(ops, coefs, sizes), f,
-                        ops.shape[1], coefs.shape[1], self.height,
-                        self.stride, self.interpret)
+            t_scan = t1 - t0
+        else:
+            HH = self.height + self.height // 2
+            acc = jnp.zeros((F, self.B, HH, self.stride), jnp.uint8)
+            t_scan = 0.0
+            for f, fp in enumerate(frames):
+                ts = time.perf_counter()
+                with jax.profiler.TraceAnnotation("mobiclip.scan"):
+                    ops, coefs, sizes = self.scan_packets(fp)
+                t_scan += time.perf_counter() - ts
+                # async dispatch: the device chews on this round while the
+                # host loop scans the next frame's packets
+                self.ring, acc = _decode_round_acc(
+                    self.ring, acc, _pack_blob(ops, coefs, sizes), f,
+                    ops.shape[1], coefs.shape[1], self.height,
+                    self.stride, self.interpret)
+            with jax.profiler.TraceAnnotation("mobiclip.device_decode"):
                 out = np.asarray(acc)
         t2 = time.perf_counter()
         m = self.metrics
         m.frames += F * self.B
         m.bytes_in += sum(len(p) for fp in frames for p in fp)
-        m.scan_seconds += t1 - t0
-        m.device_seconds += t2 - t1
+        m.scan_seconds += t_scan
+        m.device_seconds += (t2 - t0) - t_scan
         m.wall_seconds += t2 - t0
         return out
 
