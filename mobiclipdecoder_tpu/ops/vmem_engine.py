@@ -503,9 +503,11 @@ def _sharded_round(mesh, H: int, S: int, interpret: bool):
     def fn(ring, ops, coefs, sizes):
         return _decode_round_impl(ring, ops, coefs, sizes, H, S, interpret)
 
+    # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no vma
+    # annotation, which newer JAX rejects under the default check.
     sm = shard_map(fn, mesh=mesh,
                    in_specs=(P("data"), P("data"), P("data"), P("data")),
-                   out_specs=(P("data"), P("data")))
+                   out_specs=(P("data"), P("data")), check_vma=False)
     return jax.jit(sm, donate_argnums=(0,))
 
 
