@@ -27,7 +27,9 @@ def main() -> int:
     from mobiclipdecoder_tpu.models.oracle_video import MobiclipVersion
     from mobiclipdecoder_tpu.ops.vmem_engine import (VmemBatchDecoder,
                                                      _decode_round_blob,
-                                                     _pack_blob)
+                                                     _decode_round_sblob,
+                                                     _pack_blob,
+                                                     _pack_blob_sparse)
     from mobiclipdecoder_tpu.testing.synth import StreamSynthesizer
 
     W, H, B, F = 256, 192, 8, 24   # one GOP: I-frame + 23 P-frames
@@ -38,19 +40,30 @@ def main() -> int:
 
     bd = VmemBatchDecoder(W, H, MobiclipVersion.MODS_DS, batch=B)
 
-    # host scan + pack (the C++ scanner path)
+    # host scan + pack (the C++ scanner path, sparse coef upload format)
     t0 = time.perf_counter()
     per = [bd.scan_packets(fp) for fp in frames]
-    blobs = [(_pack_blob(o, c, s), o.shape[1], c.shape[1])
-             for o, c, s in per]
+    blobs = []
+    for o, c, s in per:
+        sp = _pack_blob_sparse(o, c, s)
+        if sp is not None:
+            blobs.append((sp[0], o.shape[1], c.shape[1], sp[1]))
+        else:
+            blobs.append((_pack_blob(o, c, s), o.shape[1], c.shape[1], None))
     t_scan = time.perf_counter() - t0
+
+    def round_(ring, blob, nch, nr, nnzb):
+        if nnzb is not None:
+            return _decode_round_sblob(ring, blob, nch, nr, nnzb, H,
+                                       bd.stride, bd.interpret)
+        return _decode_round_blob(ring, blob, nch, nr, H, bd.stride,
+                                  bd.interpret)
 
     # warm-up: compile every shape bucket
     t0 = time.perf_counter()
     ring = bd.ring
-    for blob, nch, nr in blobs:
-        ring, yuv = _decode_round_blob(ring, blob, nch, nr, H, bd.stride,
-                                       bd.interpret)
+    for blob, nch, nr, nnzb in blobs:
+        ring, yuv = round_(ring, blob, nch, nr, nnzb)
     jax.block_until_ready(yuv)
     t_compile = time.perf_counter() - t0
 
@@ -58,9 +71,8 @@ def main() -> int:
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        for blob, nch, nr in blobs:
-            ring, yuv = _decode_round_blob(ring, blob, nch, nr, H,
-                                           bd.stride, bd.interpret)
+        for blob, nch, nr, nnzb in blobs:
+            ring, yuv = round_(ring, blob, nch, nr, nnzb)
         jax.block_until_ready(yuv)
     dt = (time.perf_counter() - t0) / reps
     fps = B * F / dt

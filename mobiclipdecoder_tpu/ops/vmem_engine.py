@@ -518,6 +518,94 @@ def decode_round_sharded(mesh, ring, ops, coefs, sizes, H: int, S: int,
     return _sharded_round(mesh, H, S, interpret)(ring, ops, coefs, sizes)
 
 
+# Sparse-upload buckets: nonzero dequantized coefficients per frame round
+# (whole stream batch).  Measured ~17k on the bench workload; the dense
+# (B, NR, 64) int32 tensor they reconstruct is ~2.1 MB vs ~150 KB sparse —
+# and the host->device upload is the dominant cost of a round on a
+# tunneled chip (~125 MB/s measured), so this is the headline lever.
+NNZ_BUCKETS = (8192, 24576, 98304)
+
+
+def _unpack_sparse(ring, blob, nchunk: int, nr: int, nnzb: int):
+    """Device-side blob split + scatter back to the dense coef tensor.
+
+    Blob layout (int32): [ops | size_bits | idx | val16 pairs].  ``idx`` is
+    the flat index into (B*NR*64); ``val16`` holds two little-endian int16
+    levels per word.  Padding entries are (idx=0, val=0) and are applied
+    with scatter-ADD, so they are exact no-ops.
+    """
+    B = ring.shape[0]
+    a = B * nchunk * CHUNK * 4
+    nsb = (B * nr + 31) // 32
+    b = a + nsb
+    c = b + nnzb
+    ops = blob[:a].reshape(B, nchunk, CHUNK, 4)
+    sbits = blob[a:b]
+    idx = blob[b:c]
+    v32 = blob[c:c + nnzb // 2]
+    lo = jax.lax.shift_right_arithmetic(v32 << 16, 16)
+    hi = jax.lax.shift_right_arithmetic(v32, 16)
+    val = jnp.stack([lo, hi], axis=1).reshape(-1)
+    dense = jnp.zeros(B * nr * 64, jnp.int32).at[idx].add(val)
+    coefs = dense.reshape(B, nr, 64)
+    word = sbits[jnp.arange(B * nr) // 32]
+    bit = (word >> (jnp.arange(B * nr) % 32)) & 1
+    sizes = jnp.where(bit == 1, 4, 8).astype(jnp.int32).reshape(B, nr)
+    return ops, coefs, sizes
+
+
+def _pack_blob_sparse(ops, coefs, sizes):
+    """Host-side sparse pack; returns (blob, nnz_bucket) or None when the
+    round doesn't fit the sparse format (huge values / nnz overflow) and
+    must take the dense path."""
+    B, nr = sizes.shape
+    flat = coefs.reshape(-1)
+    idx = np.flatnonzero(flat)
+    if idx.size > NNZ_BUCKETS[-1] or (B * nr * 64) > (1 << 31) - 1:
+        return None
+    val = flat[idx]
+    if val.size and (np.abs(val).max() >= 32768):
+        return None
+    nnzb = _bucket(max(int(idx.size), 2), NNZ_BUCKETS)
+    idx_a = np.zeros(nnzb, np.int32)
+    idx_a[:idx.size] = idx
+    val_a = np.zeros(nnzb, np.int16)
+    val_a[:val.size] = val.astype(np.int16)
+    nsb = (B * nr + 31) // 32
+    sbits = np.zeros(nsb * 32, np.uint32)
+    sbits[:B * nr] = (sizes.reshape(-1) == 4)
+    swords = (sbits.reshape(-1, 32)
+              << np.arange(32, dtype=np.uint32)).sum(
+                  axis=1, dtype=np.uint32).view(np.int32)
+    blob = np.concatenate([ops.ravel(), swords, idx_a,
+                           val_a.view(np.int32)])
+    return blob, nnzb
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nchunk", "nr", "nnzb", "H", "S",
+                                    "interpret"),
+                   donate_argnums=(0,))
+def _decode_round_sblob(ring, blob, nchunk: int, nr: int, nnzb: int,
+                        H: int, S: int, interpret: bool):
+    """Sparse-upload frame round (see _pack_blob_sparse)."""
+    ops, coefs, sizes = _unpack_sparse(ring, blob, nchunk, nr, nnzb)
+    return _decode_round(ring, ops, coefs, sizes, H, S, interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nchunk", "nr", "nnzb", "H", "S",
+                                    "interpret"),
+                   donate_argnums=(0, 1))
+def _decode_round_acc_sparse(ring, acc, blob, f, nchunk: int, nr: int,
+                             nnzb: int, H: int, S: int, interpret: bool):
+    """Sparse-upload round accumulating into GOP row ``f`` (one download
+    per GOP, like _decode_round_acc)."""
+    ops, coefs, sizes = _unpack_sparse(ring, blob, nchunk, nr, nnzb)
+    ring, yuv = _decode_round(ring, ops, coefs, sizes, H, S, interpret)
+    return ring, jax.lax.dynamic_update_index_in_dim(acc, yuv, f, 0)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nchunk", "nr", "H", "S", "interpret"),
                    donate_argnums=(0,))
@@ -665,10 +753,17 @@ class VmemBatchDecoder:
             ops, coefs, sizes = self.scan_packets(packets)
         t1 = time.perf_counter()
         with jax.profiler.TraceAnnotation("mobiclip.device_decode"):
-            self.ring, yuv = _decode_round_blob(
-                self.ring, _pack_blob(ops, coefs, sizes),
-                ops.shape[1], coefs.shape[1], self.height, self.stride,
-                self.interpret)
+            sp = _pack_blob_sparse(ops, coefs, sizes)
+            if sp is not None:
+                blob, nnzb = sp
+                self.ring, yuv = _decode_round_sblob(
+                    self.ring, blob, ops.shape[1], coefs.shape[1], nnzb,
+                    self.height, self.stride, self.interpret)
+            else:
+                self.ring, yuv = _decode_round_blob(
+                    self.ring, _pack_blob(ops, coefs, sizes),
+                    ops.shape[1], coefs.shape[1], self.height, self.stride,
+                    self.interpret)
             out = np.asarray(yuv)
         t2 = time.perf_counter()
         m = self.metrics
@@ -726,10 +821,18 @@ class VmemBatchDecoder:
                 t_scan += time.perf_counter() - ts
                 # async dispatch: the device chews on this round while the
                 # host loop scans the next frame's packets
-                self.ring, acc = _decode_round_acc(
-                    self.ring, acc, _pack_blob(ops, coefs, sizes), f,
-                    ops.shape[1], coefs.shape[1], self.height,
-                    self.stride, self.interpret)
+                sp = _pack_blob_sparse(ops, coefs, sizes)
+                if sp is not None:
+                    blob, nnzb = sp
+                    self.ring, acc = _decode_round_acc_sparse(
+                        self.ring, acc, blob, f, ops.shape[1],
+                        coefs.shape[1], nnzb, self.height, self.stride,
+                        self.interpret)
+                else:
+                    self.ring, acc = _decode_round_acc(
+                        self.ring, acc, _pack_blob(ops, coefs, sizes), f,
+                        ops.shape[1], coefs.shape[1], self.height,
+                        self.stride, self.interpret)
             with jax.profiler.TraceAnnotation("mobiclip.device_decode"):
                 out = np.asarray(acc)
         t2 = time.perf_counter()

@@ -83,6 +83,32 @@ def test_vmem_decode_gop_matches_per_frame():
         np.testing.assert_array_equal(gop[f], per)
 
 
+def test_sparse_blob_roundtrip_exact():
+    """The sparse coef upload format must reconstruct (ops, coefs, sizes)
+    exactly on device; values >= 2**15 must trigger the dense fallback."""
+    import jax.numpy as jnp
+    from mobiclipdecoder_tpu.ops.vmem_engine import (_pack_blob_sparse,
+                                                     _unpack_sparse)
+
+    W, H, B = 64, 48, 2
+    v = MobiclipVersion.MODS_DS
+    synths = [StreamSynthesizer(W, H, v, seed=s) for s in (21, 22)]
+    bd = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    for i in range(3):
+        pkts = [s.iframe(0x18) if i == 0 else s.pframe() for s in synths]
+        ops, coefs, sizes = bd.scan_packets(pkts)
+        blob, nnzb = _pack_blob_sparse(ops, coefs, sizes)
+        ring = jnp.zeros((B, 1, 1, 1, 1))  # only .shape[0] is used
+        o2, c2, s2 = _unpack_sparse(ring, jnp.asarray(blob),
+                                    ops.shape[1], coefs.shape[1], nnzb)
+        np.testing.assert_array_equal(np.asarray(o2), ops)
+        np.testing.assert_array_equal(np.asarray(c2), coefs)
+        np.testing.assert_array_equal(np.asarray(s2), sizes)
+    big = coefs.copy()
+    big[0, 0, 0] = 40000
+    assert _pack_blob_sparse(ops, big, sizes) is None
+
+
 def test_vmem_sharded_round_matches_unsharded():
     """The shard_map'd VMEM round over an 8-device CPU mesh must equal the
     single-device round exactly (streams are independent)."""
