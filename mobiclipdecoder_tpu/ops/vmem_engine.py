@@ -504,7 +504,11 @@ def _sharded_round(mesh, H: int, S: int, interpret: bool):
         return _decode_round_impl(ring, ops, coefs, sizes, H, S, interpret)
 
     # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no vma
-    # annotation, which newer JAX rejects under the default check.
+    # annotation, which newer JAX rejects under the default check.  This
+    # disables vma checking for the whole wrapped fn, not just pallas_call —
+    # revisit once pallas outputs carry vma so spec mistakes are caught
+    # again; today every in/out spec is plain P('data') so there is nothing
+    # the check could catch here.
     sm = shard_map(fn, mesh=mesh,
                    in_specs=(P("data"), P("data"), P("data"), P("data")),
                    out_specs=(P("data"), P("data")), check_vma=False)
@@ -564,7 +568,9 @@ def _pack_blob_sparse(ops, coefs, sizes):
     if idx.size > NNZ_BUCKETS[-1] or (B * nr * 64) > (1 << 31) - 1:
         return None
     val = flat[idx]
-    if val.size and (np.abs(val).max() >= 32768):
+    # int16-range guard; min/max compares (not np.abs, which returns
+    # INT32_MIN unchanged and would wrongly pass it through).
+    if val.size and (int(val.min()) < -32768 or int(val.max()) > 32767):
         return None
     nnzb = _bucket(max(int(idx.size), 2), NNZ_BUCKETS)
     idx_a = np.zeros(nnzb, np.int32)
@@ -577,8 +583,10 @@ def _pack_blob_sparse(ops, coefs, sizes):
     swords = (sbits.reshape(-1, 32)
               << np.arange(32, dtype=np.uint32)).sum(
                   axis=1, dtype=np.uint32).view(np.int32)
-    blob = np.concatenate([ops.ravel(), swords, idx_a,
-                           val_a.view(np.int32)])
+    # Explicit little-endian pack so the device-side low/high int16 split in
+    # _unpack_sparse holds regardless of host byte order.
+    val_words = val_a.astype('<i2').view('<i4').astype(np.int32)
+    blob = np.concatenate([ops.ravel(), swords, idx_a, val_words])
     return blob, nnzb
 
 
