@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .idct import idct4, idct8
 from .intra_tables import AVG2, AVG3, DC, KIND, TAPS
+from ..models.plan import OP_INTRA, OP_RESID
 
 MR = 8       # top margin rows (taps at row -1 read zeros, like fresh planes)
 MCOL = 8     # left margin lanes
@@ -111,7 +112,32 @@ def _chunk_ops(ops_arr: np.ndarray, bucket: int) -> np.ndarray:
 
 
 # ===================================================================== kernel
-def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool):
+def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
+                 fused: tuple[int, int] | None = None):
+    """Build the sequential-executor kernel.
+
+    ``fused=None``: per-round form — grid (B, nchunk), ring is a VMEM block
+    (one stream's 6 slots), decoded frame is the pallas output block.
+
+    ``fused=(B, nchunk_total, stage)``: whole-GOP form — grid
+    (B, nchunk_total), one pallas launch decodes the whole GOP (on a
+    tunneled chip this collapses F dispatch round trips into one).  The op
+    stream is a PACKED chunk sequence per stream: each (CHUNK, 4) chunk's
+    header row is [count, frame_idx, first_flag, last_flag] — frames take
+    exactly ceil(nops/255) chunks with no per-frame padding (an I-frame
+    doesn't inflate every P-frame's footprint), which cuts both upload
+    bytes and wasted grid steps ~4x vs a per-frame-bucketed layout.
+
+    Frame->ring-slot assignment is modular: frame f writes slot
+    (5 - f) mod 6, reference r of frame f reads slot (5 - f + r) mod 6 —
+    no ring roll exists at all.  With ``stage`` (ring fits VMEM): stream
+    b's entire 6-slot ring is staged HBM->VMEM once, all frames run
+    against the VMEM-resident ring, one write-back at stream end (per-op
+    MC against an HBM ring pays ~microsecond DMA latency each — measured
+    ~10x slower).  Without ``stage`` (Wii-size frames): MC windows DMA
+    straight from the HBM ring.  Finished frames are DMA'd to the (F*B)
+    frames output as they complete.
+    """
     HMASK = 0xFFFF
 
     def roll(x, s, axis):
@@ -128,11 +154,65 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool):
         return pltpu.roll(x, s, axis)
 
     def kernel(ops_ref, ring_ref, resid_ref, wt_ref, wl_ref, kind_ref,
-               out_ref, winl, winc, cur, curc, sems):
-        @pl.when(pl.program_id(1) == 0)
-        def _zero():
-            for g in range(G8):
-                out_ref[g] = jnp.zeros((8, SP), jnp.int32)
+               *rest):
+        if fused is not None:
+            FB, NCT, STAGE = fused
+            if STAGE:
+                (ring_out_ref, frames_ref,
+                 winl, winc, cur, curc, plane, vring, sems) = rest
+            else:
+                (ring_out_ref, frames_ref,
+                 winl, winc, cur, curc, plane, sems) = rest
+                vring = None
+            out_ref = plane
+            bid = pl.program_id(0)
+            chid = pl.program_id(1)
+            fid = ops_ref[0, 1]
+            first = ops_ref[0, 2]
+            last = ops_ref[0, 3]
+            fm = jax.lax.rem(fid, 6)
+
+            if STAGE:
+                ring_src = vring
+
+                @pl.when(chid == 0)
+                def _stage_ring():
+                    # stream b's whole 6-slot ring: HBM->VMEM, one bulk DMA
+                    d = pltpu.make_async_copy(ring_out_ref.at[bid], vring,
+                                              sems.at[0])
+                    d.start()
+                    d.wait()
+
+                def ring_group(ref, g):
+                    # slot of reference r for frame f: (5 - f + r) mod 6
+                    slot = jax.lax.rem(5 - fm + ref, 6)
+                    return slot * G8 + g
+            else:
+                # ring too big for VMEM (Wii-size frames): MC windows DMA
+                # straight from the HBM-resident ring (latency-bound but
+                # still far above realtime; ring is flat (B*6*G8, 8, SP))
+                ring_src = ring_out_ref
+
+                def ring_group(ref, g):
+                    slot = jax.lax.rem(5 - fm + ref, 6)
+                    return (bid * 6 + slot) * G8 + g
+
+            @pl.when(first == 1)
+            def _zero_fused():
+                for g in range(G8):
+                    out_ref[g] = jnp.zeros((8, SP), jnp.int32)
+        else:
+            out_ref, winl, winc, cur, curc, sems = rest
+            chid = pl.program_id(1)
+            ring_src = ring_ref
+
+            def ring_group(ref, g):
+                return ref * G8 + g
+
+            @pl.when(chid == 0)
+            def _zero():
+                for g in range(G8):
+                    out_ref[g] = jnp.zeros((8, SP), jnp.int32)
 
         sub24 = jax.lax.broadcasted_iota(jnp.int32, (24, SP), 0)
         lane24 = jax.lax.broadcasted_iota(jnp.int32, (24, SP), 1)
@@ -233,8 +313,8 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool):
                 # luma
                 yb = rr + (dy >> 1)
                 xb = cc + (dx >> 1)
-                gl = ref * G8 + jnp.clip(yb >> 3, 0, G8 - 3)
-                copy_groups(ring_ref, gl, winl, 3)
+                gl = ring_group(ref, jnp.clip(yb >> 3, 0, G8 - 3))
+                copy_groups(ring_src, gl, winl, 3)
                 w24 = jnp.concatenate([winl[0], winl[1], winl[2]], axis=0)
                 wnd = roll(roll(w24, -(yb & 7), 0), -xb, 1)
                 px = halfpel(wnd, 16, dx, dy)
@@ -249,8 +329,8 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool):
                 ccu = MCOL + ((cc - MCOL) >> 1)
                 ccv = ccu + S // 2
                 cyb = cy + (cdy >> 1)
-                gc = ref * G8 + jnp.clip(cyb >> 3, 0, G8 - 2)
-                copy_groups(ring_ref, gc, winc, 2)
+                gc = ring_group(ref, jnp.clip(cyb >> 3, 0, G8 - 2))
+                copy_groups(ring_src, gc, winc, 2)
                 w16 = jnp.concatenate([winc[0], winc[1]], axis=0)
                 wr = roll(w16, -(cyb & 7), 0)
                 pxu = halfpel(roll(wr, -(ccu + (cdx >> 1)), 1), 8, cdx, cdy)
@@ -405,6 +485,44 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool):
 
         jax.lax.fori_loop(1, 1 + ops_ref[0, 0], body, 0)
 
+        if fused is not None:
+            @pl.when(last == 1)
+            def _commit():
+                # finished frame -> its ring slot (5 - f) mod 6 (row-group
+                # DMAs, dynamic leading-dim indexing) and the GOP frames
+                # output in HBM (one bulk DMA)
+                if STAGE:
+                    rbase = (5 - fm) * G8
+                    rdst = vring
+                else:
+                    rbase = (bid * 6 + (5 - fm)) * G8
+                    rdst = ring_out_ref
+                dmas = [pltpu.make_async_copy(out_ref.at[g],
+                                              rdst.at[rbase + g],
+                                              sems.at[g % 3])
+                        for g in range(G8)]
+                for i, d in enumerate(dmas):
+                    d.start()
+                    if i % 3 == 2:
+                        dmas[i - 2].wait()
+                        dmas[i - 1].wait()
+                        d.wait()
+                for i in range(G8 - G8 % 3, G8):
+                    dmas[i].wait()
+                dk = pltpu.make_async_copy(out_ref,
+                                           frames_ref.at[fid * FB + bid],
+                                           sems.at[0])
+                dk.start()
+                dk.wait()
+
+            if STAGE:
+                @pl.when(chid == NCT - 1)
+                def _writeback_ring():
+                    d = pltpu.make_async_copy(vring, ring_out_ref.at[bid],
+                                              sems.at[1])
+                    d.start()
+                    d.wait()
+
     return kernel
 
 
@@ -454,6 +572,197 @@ def _build_executor(B: int, H: int, S: int, nops: int, nr: int,
         return call(ops, ring, resid, wt, wl, kind)
 
     return run
+
+
+# Whole-GOP packed-chunk-stream buckets: chunks per stream per GOP.
+# Coefficient rows are partitioned BY CHUNK (each row is referenced by
+# exactly one op, in decode order), so the kernel's resid block is a fixed
+# (CHUNK, 64) = 64 KiB regardless of GOP length.
+NCT_BUCKETS = (16, 64, 160, 512, 1024)
+# Stage the per-stream 6-slot ring into VMEM when it fits the budget
+# (everything else in the kernel needs ~4-6 MiB); Wii-size rings exceed it
+# and fall back to direct-HBM MC windows.
+_VMEM_RING_BUDGET = 8 * 2 ** 20
+
+
+@functools.lru_cache(maxsize=None)
+def _build_gop_executor(F: int, B: int, H: int, S: int, nct: int,
+                        interpret: bool):
+    """Whole-GOP executor: ONE pallas launch, grid (B, nct) over packed op
+    chunks (header row = [count, frame, first, last]).  The ring (all B
+    streams x 6 slots) stays in HBM and is updated in place (input/output
+    aliased); returns (ring, frames (F*B*G8, 8, SP) int32)."""
+    _hh, G8, SP = _geom(H, S)
+    stage = 6 * G8 * 8 * SP * 4 <= _VMEM_RING_BUDGET
+    kernel = _make_kernel(H, S, G8, SP, interpret, fused=(B, nct, stage))
+    wt, wl, kind = _lut_tables()
+    ring_shape = (B, 6 * G8, 8, SP) if stage else (B * 6 * G8, 8, SP)
+
+    scratch = [
+        pltpu.VMEM((3, 8, SP), jnp.int32),        # luma MC window
+        pltpu.VMEM((2, 8, SP), jnp.int32),        # chroma MC window
+        pltpu.VMEM((3, 8, SP), jnp.int32),        # RMW block
+        pltpu.VMEM((2, 8, SP), jnp.int32),        # chroma RMW block
+        pltpu.VMEM((G8, 8, SP), jnp.int32),       # working plane
+    ]
+    if stage:
+        scratch.append(pltpu.VMEM((6 * G8, 8, SP), jnp.int32))  # stream ring
+    scratch.append(pltpu.SemaphoreType.DMA((3,)))
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(ring_shape, jnp.int32),            # ring
+            jax.ShapeDtypeStruct((F * B, G8, 8, SP), jnp.int32),    # frames
+        ),
+        grid=(B, nct),
+        in_specs=[
+            pl.BlockSpec((CHUNK, 4), lambda b, ch: (b * nct + ch, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),                   # ring
+            pl.BlockSpec((CHUNK, 64), lambda b, ch: (b * nct + ch, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((60, 32, 256), lambda b, ch: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((60, 16, 256), lambda b, ch: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((20, 256), lambda b, ch: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        input_output_aliases={1: 0},
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+
+    def run(ops, ring, resid):
+        ring2, frames = call(ops, ring.reshape(ring_shape), resid,
+                             wt, wl, kind)
+        return ring2.reshape(B, 6 * G8, 8, SP), frames
+
+    return run
+
+
+def _pack_gop_chunks(plans_fb: list[list[dict]], B: int) -> tuple:
+    """Pack per-frame scan plans into the packed-chunk-stream GOP layout.
+
+    plans_fb[f][b] = scan_unified dict.  Returns (ops (B, NCT, CHUNK, 4),
+    coefs (B, NCT, CHUNK, 64), sizes (B, NCT, CHUNK)).  Each frame occupies
+    ceil(nops/(CHUNK-1)) chunks; chunk headers carry
+    [count, frame_idx, first_flag, last_flag].  Coefficient rows are
+    re-partitioned per chunk (w3 references become chunk-local), so the
+    device-side residual block stays a fixed (CHUNK, 64) slice."""
+    F = len(plans_fb)
+    cap = CHUNK - 1
+    per_stream: list[list[np.ndarray]] = [[] for _ in range(B)]
+    coef_chunks: list[list[np.ndarray]] = [[] for _ in range(B)]
+    size_chunks: list[list[np.ndarray]] = [[] for _ in range(B)]
+    for b in range(B):
+        for f in range(F):
+            p = plans_fb[f][b]
+            n = int(p["ops"][0, 0])
+            rows = p["ops"][1:1 + n]
+            nchunks = max(1, -(-n // cap))
+            for c in range(nchunks):
+                seg = rows[c * cap:(c + 1) * cap].copy()
+                # chunk-local coefficient rows: gather the rows this
+                # chunk's ops reference; each row has exactly one
+                # referencing op, in decode order
+                typ = seg[:, 0] & 3
+                used = ((typ == OP_RESID)
+                        | ((typ == OP_INTRA) & ((seg[:, 0] >> 10) & 1 == 1)))
+                refs = seg[used, 3]
+                seg[:, 3] = 0
+                seg[used, 3] = np.arange(refs.shape[0], dtype=np.int32)
+                ck = np.zeros((CHUNK, 64), np.int32)
+                sk = np.full(CHUNK, 8, np.int32)
+                if refs.shape[0]:
+                    ck[:refs.shape[0]] = p["coefs"][refs]
+                    sk[:refs.shape[0]] = p["sizes"][refs]
+                chunk = np.zeros((CHUNK, 4), np.int32)
+                chunk[0] = (seg.shape[0], f,
+                            1 if c == 0 else 0,
+                            1 if c == nchunks - 1 else 0)
+                chunk[1:1 + seg.shape[0]] = seg
+                per_stream[b].append(chunk)
+                coef_chunks[b].append(ck)
+                size_chunks[b].append(sk)
+    nct = _bucket(max(len(sc) for sc in per_stream), NCT_BUCKETS)
+    ops = np.zeros((B, nct, CHUNK, 4), np.int32)
+    coefs = np.zeros((B, nct, CHUNK, 64), np.int32)
+    sizes = np.full((B, nct, CHUNK), 8, np.int32)
+    for b in range(B):
+        k = len(per_stream[b])
+        ops[b, :k] = per_stream[b]
+        coefs[b, :k] = coef_chunks[b]
+        sizes[b, :k] = size_chunks[b]
+    return ops, coefs, sizes
+
+
+@functools.partial(jax.jit, static_argnames=("F", "H", "S", "interpret"),
+                   donate_argnums=(0,))
+def _decode_gop_fused(ring, ops, coefs, sizes, F: int, H: int, S: int,
+                      interpret: bool):
+    """Whole-GOP decode as ONE kernel launch (vs _decode_gop's lax.scan of
+    launches, which the remote-execution tunnel runs pathologically slowly).
+
+    ops: (B, NCT, CHUNK, 4) packed chunk stream;
+    coefs: (B, NCT, CHUNK, 64) chunk-partitioned coefficient rows;
+    sizes: (B, NCT, CHUNK); ring: (B, 6, G8, 8, SP).
+    Returns (ring, yuv (F, B, HH, S) uint8).
+    """
+    B = ops.shape[0]
+    nct = ops.shape[1]
+    HH, G8, SP = _geom(H, S)
+    flat = coefs.reshape(B * nct * CHUNK, 64)
+    r8 = idct8(flat.reshape(-1, 8, 8))
+    r4 = jnp.pad(idct4(flat[:, :16].reshape(-1, 4, 4)),
+                 ((0, 0), (0, 4), (0, 4)))
+    resid = jnp.where((sizes.reshape(-1) == 4)[:, None, None], r4, r8)
+    run = _build_gop_executor(F, B, H, S, nct, interpret)
+    ring2, frames = run(ops.reshape(B * nct * CHUNK, 4),
+                        ring.reshape(B, 6 * G8, 8, SP),
+                        resid.reshape(B * nct * CHUNK, 64))
+    # renormalize the modular ring back to slot 0 = newest (frame F-1 wrote
+    # slot (5 - (F-1)) mod 6)
+    w_last = (5 - (F - 1)) % 6
+    ring2 = jnp.roll(ring2.reshape(B, 6, G8, 8, SP), -w_last, axis=1)
+    yuv = frames.reshape(F, B, G8 * 8, SP)[:, :, MR:MR + HH, MCOL:MCOL + S]
+    return ring2, yuv.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("F", "nct", "nnzb", "H", "S",
+                                    "interpret"),
+                   donate_argnums=(0,))
+def _decode_gop_fused_sblob(ring, blob, F: int, nct: int,
+                            nnzb: int, H: int, S: int, interpret: bool):
+    """Sparse-upload whole-GOP round: ONE host->device blob, ONE kernel
+    launch, ONE download (see _pack_blob_sparse)."""
+    B = ring.shape[0]
+    nrows = B * nct * CHUNK
+    a = nrows * 4
+    nsb = (nrows + 31) // 32
+    b = a + nsb
+    c = b + nnzb
+    ops = blob[:a].reshape(B, nct, CHUNK, 4)
+    sbits = blob[a:b]
+    idx = blob[b:c]
+    v32 = blob[c:c + nnzb // 2]
+    lo = jax.lax.shift_right_arithmetic(v32 << 16, 16)
+    hi = jax.lax.shift_right_arithmetic(v32, 16)
+    val = jnp.stack([lo, hi], axis=1).reshape(-1)
+    dense = jnp.zeros(nrows * 64, jnp.int32).at[idx].add(
+        val, mode="drop", indices_are_sorted=True, unique_indices=True)
+    coefs = dense.reshape(B, nct, CHUNK, 64)
+    word = sbits[jnp.arange(nrows) // 32]
+    bit = (word >> (jnp.arange(nrows) % 32)) & 1
+    sizes = jnp.where(bit == 1, 4, 8).astype(jnp.int32).reshape(B, nct,
+                                                                CHUNK)
+    return _decode_gop_fused(ring, ops, coefs, sizes, F, H, S, interpret)
 
 
 def _decode_round_impl(ring, ops, coefs, sizes, H: int, S: int,
@@ -527,7 +836,7 @@ def decode_round_sharded(mesh, ring, ops, coefs, sizes, H: int, S: int,
 # (B, NR, 64) int32 tensor they reconstruct is ~2.1 MB vs ~150 KB sparse —
 # and the host->device upload is the dominant cost of a round on a
 # tunneled chip (~125 MB/s measured), so this is the headline lever.
-NNZ_BUCKETS = (8192, 24576, 98304)
+NNZ_BUCKETS = (8192, 24576, 98304, 393216, 786432, 1572864)
 
 
 def _unpack_sparse(ring, blob, nchunk: int, nr: int, nnzb: int):
@@ -535,8 +844,9 @@ def _unpack_sparse(ring, blob, nchunk: int, nr: int, nnzb: int):
 
     Blob layout (int32): [ops | size_bits | idx | val16 pairs].  ``idx`` is
     the flat index into (B*NR*64); ``val16`` holds two little-endian int16
-    levels per word.  Padding entries are (idx=0, val=0) and are applied
-    with scatter-ADD, so they are exact no-ops.
+    levels per word.  Real indices are ascending and unique (flatnonzero
+    order) — declared to XLA so the scatter vectorizes; padding entries
+    point one past the end and are dropped.
     """
     B = ring.shape[0]
     a = B * nchunk * CHUNK * 4
@@ -550,7 +860,8 @@ def _unpack_sparse(ring, blob, nchunk: int, nr: int, nnzb: int):
     lo = jax.lax.shift_right_arithmetic(v32 << 16, 16)
     hi = jax.lax.shift_right_arithmetic(v32, 16)
     val = jnp.stack([lo, hi], axis=1).reshape(-1)
-    dense = jnp.zeros(B * nr * 64, jnp.int32).at[idx].add(val)
+    dense = jnp.zeros(B * nr * 64, jnp.int32).at[idx].add(
+        val, mode="drop", indices_are_sorted=True, unique_indices=True)
     coefs = dense.reshape(B, nr, 64)
     word = sbits[jnp.arange(B * nr) // 32]
     bit = (word >> (jnp.arange(B * nr) % 32)) & 1
@@ -573,7 +884,9 @@ def _pack_blob_sparse(ops, coefs, sizes):
     if val.size and (int(val.min()) < -32768 or int(val.max()) > 32767):
         return None
     nnzb = _bucket(max(int(idx.size), 2), NNZ_BUCKETS)
-    idx_a = np.zeros(nnzb, np.int32)
+    # padding indices point one past the end: dropped by the device-side
+    # scatter (mode="drop"), keeping the real index list sorted+unique
+    idx_a = np.full(nnzb, B * nr * 64, np.int32)
     idx_a[:idx.size] = idx
     val_a = np.zeros(nnzb, np.int16)
     val_a[:val.size] = val.astype(np.int16)
@@ -712,6 +1025,8 @@ class VmemBatchDecoder:
                 if native is True:
                     raise
         self.stride = self.planners[0].stride
+        import concurrent.futures as _cf
+        self._pool = _cf.ThreadPoolExecutor(max_workers=min(batch, 16))
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = bool(interpret)
@@ -735,8 +1050,17 @@ class VmemBatchDecoder:
         p.decode_frame()
         return p.unified_plan()
 
+    def _scan_all(self, packets: list[bytes]) -> list[dict]:
+        if self.natives is not None and self.B > 1:
+            # the C++ scanner releases the GIL (plain ctypes call) and each
+            # stream has its own context -> streams scan in parallel on
+            # host cores
+            return list(self._pool.map(
+                lambda a: self._scan_one(*a), enumerate(packets)))
+        return [self._scan_one(b, pkt) for b, pkt in enumerate(packets)]
+
     def scan_packets(self, packets: list[bytes]) -> tuple:
-        plans = [self._scan_one(b, pkt) for b, pkt in enumerate(packets)]
+        plans = self._scan_all(packets)
         bucket = _ops_bucket(max(int(p["ops"][0, 0]) for p in plans))
         nchunk = bucket // CHUNK
         nr = _bucket(max(p["coefs"].shape[0] for p in plans), NR_BUCKETS)
@@ -783,8 +1107,80 @@ class VmemBatchDecoder:
         return out
 
 
+    def _gop_arrays(self, per: list[tuple]) -> tuple:
+        """Stack per-frame scan results into (F, B, ...) GOP arrays."""
+        F = len(per)
+        nchunk = max(p[0].shape[1] for p in per)
+        nr = max(p[1].shape[1] for p in per)
+        ops = np.zeros((F, self.B, nchunk, CHUNK, 4), np.int32)
+        coefs = np.zeros((F, self.B, nr, 64), np.int32)
+        sizes = np.full((F, self.B, nr), 8, np.int32)
+        for f, (o, c, s) in enumerate(per):
+            ops[f, :, :o.shape[1]] = o
+            coefs[f, :, :c.shape[1]] = c
+            sizes[f, :, :s.shape[1]] = s
+        return ops, coefs, sizes
+
+    def _dispatch_gop_fused(self, frames: list[list[bytes]]):
+        """Scan + pack + dispatch one GOP through the fused single-launch
+        path; returns (scan_end_time, device yuv array) WITHOUT blocking on
+        the result (dispatch is async)."""
+        import time
+        F = len(frames)
+        with jax.profiler.TraceAnnotation("mobiclip.scan"):
+            plans_fb = [self._scan_all(fp) for fp in frames]
+            ops, coefs, sizes = _pack_gop_chunks(plans_fb, self.B)
+        t1 = time.perf_counter()
+        nct = ops.shape[1]
+        sp = _pack_blob_sparse(ops, coefs,
+                               sizes.reshape(self.B, nct * CHUNK))
+        if sp is not None:
+            blob, nnzb = sp
+            self.ring, yuv = _decode_gop_fused_sblob(
+                self.ring, blob, F, nct, nnzb,
+                self.height, self.stride, self.interpret)
+        else:
+            self.ring, yuv = _decode_gop_fused(
+                self.ring, jnp.asarray(ops), jnp.asarray(coefs),
+                jnp.asarray(sizes), F, self.height, self.stride,
+                self.interpret)
+        return t1, yuv
+
+    def decode_gops(self, gops) -> "Iterator[np.ndarray]":
+        """Streaming multi-GOP decode with download/compute overlap: GOP
+        n's device->host fetch streams WHILE GOP n+1 is scanned on host and
+        decoded on device (the fetch costs ~0.5 s per GOP through the
+        tunnel — fully hidden here as long as scan+decode take comparably
+        long).  Yields (F, B, HH, S) uint8 per GOP, in order."""
+        import time
+        pending = None
+        for frames in gops:
+            t0 = time.perf_counter()
+            _t1, yuv = self._dispatch_gop_fused(frames)
+            try:
+                yuv.copy_to_host_async()
+            except Exception:
+                pass
+            if pending is not None:
+                out, pf, pt0 = pending
+                arr = np.asarray(out)
+                self._account_gop(pf, time.perf_counter() - pt0)
+                yield arr
+            pending = (yuv, len(frames) * self.B, t0)
+        if pending is not None:
+            out, pf, pt0 = pending
+            arr = np.asarray(out)
+            self._account_gop(pf, time.perf_counter() - pt0)
+            yield arr
+
+    def _account_gop(self, n_frames: int, wall: float) -> None:
+        m = self.metrics
+        m.frames += n_frames
+        m.wall_seconds += wall
+
     def decode_gop(self, frames: list[list[bytes]],
-                   single_dispatch: bool = False) -> np.ndarray:
+                   single_dispatch: bool = False,
+                   fused: bool = False) -> np.ndarray:
         """frames[f][b] = packet of frame f of stream b; returns
         (F, B, HH, S) uint8.
 
@@ -793,26 +1189,26 @@ class VmemBatchDecoder:
         downloaded ONCE at the end (a result fetch costs a fixed ~50-200 ms
         through this chip's tunnel, so per-frame downloads dominate
         everything else).  Wall clock ~ max(scan, device) instead of their
-        sum.  ``single_dispatch=True`` instead runs the whole GOP as one
-        lax.scan program — the right shape for directly-attached TPUs, but
-        measured pathological through the remote-execution tunnel."""
+        sum.  ``fused=True`` runs the whole GOP as ONE kernel launch with
+        the ring resident in HBM (one upload, one dispatch, one download —
+        the fastest shape on the tunneled chip).  ``single_dispatch=True``
+        instead runs a lax.scan of per-frame launches — measured
+        pathological through the remote-execution tunnel, kept for
+        directly-attached comparison."""
         import time
         t0 = time.perf_counter()
         F = len(frames)
-        if single_dispatch:
+        if fused:
+            t1, yuv = self._dispatch_gop_fused(frames)
+            with jax.profiler.TraceAnnotation("mobiclip.device_decode"):
+                out = np.asarray(yuv)
+            t_scan = t1 - t0
+        elif single_dispatch:
             with jax.profiler.TraceAnnotation("mobiclip.scan"):
                 per = [self.scan_packets(fp) for fp in frames]
+                ops, coefs, sizes = self._gop_arrays(per)
             t1 = time.perf_counter()
             with jax.profiler.TraceAnnotation("mobiclip.device_decode"):
-                nchunk = max(p[0].shape[1] for p in per)
-                nr = max(p[1].shape[1] for p in per)
-                ops = np.zeros((F, self.B, nchunk, CHUNK, 4), np.int32)
-                coefs = np.zeros((F, self.B, nr, 64), np.int32)
-                sizes = np.full((F, self.B, nr), 8, np.int32)
-                for f, (o, c, s) in enumerate(per):
-                    ops[f, :, :o.shape[1]] = o
-                    coefs[f, :, :c.shape[1]] = c
-                    sizes[f, :, :s.shape[1]] = s
                 self.ring, yuv = _decode_gop(self.ring, ops, coefs, sizes,
                                              self.height, self.stride,
                                              self.interpret)

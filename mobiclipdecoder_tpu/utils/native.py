@@ -122,9 +122,12 @@ class NativePlanner:
         """Unified decode-order op stream (models/plan.py pack_unified
         layout) for the VMEM engine; bit-identical to
         PlanningDecoder.unified_plan()."""
-        uops = np.zeros((self.UOPS_CAP, 4), np.int32)
-        ucoef = np.zeros((self.UCOEF_CAP, 64), np.int32)
-        usize = np.zeros(self.UCOEF_CAP, np.int32)
+        # np.empty is safe: the C++ side fully writes every op row it emits
+        # and memsets each used coefficient row (scanner.cpp emit paths);
+        # only [:n] / [:k] are read back.
+        uops = np.empty((self.UOPS_CAP, 4), np.int32)
+        ucoef = np.empty((self.UCOEF_CAP, 64), np.int32)
+        usize = np.empty(self.UCOEF_CAP, np.int32)
         meta = np.zeros(3, np.int32)
 
         def p(a):

@@ -141,3 +141,60 @@ def test_vmem_sharded_round_matches_unsharded():
                                                       ops.shape[2], 4),
                                           coefs, sizes, H, bd.stride, True)
         np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+
+def test_vmem_decode_gop_fused_matches_per_frame():
+    """The whole-GOP single-launch path (HBM ring, modular slots) must equal
+    per-frame decoding exactly, across more frames than ring slots so the
+    modular slot reuse wraps."""
+    W, H = 64, 48
+    v = MobiclipVersion.MODS_DS
+    F, B = 8, 2
+    synths = [StreamSynthesizer(W, H, v, seed=s) for s in (31, 32)]
+    frames = [[s.iframe(0x18) if f == 0 else s.pframe() for s in synths]
+              for f in range(F)]
+    a = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    b = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    gop = a.decode_gop(frames, fused=True)
+    for f in range(F):
+        per = b.decode_frames(frames[f])
+        np.testing.assert_array_equal(gop[f], per, err_msg=f"frame {f}")
+
+
+def test_vmem_fused_gop_ring_carries_across_gops():
+    """Ring renormalization after a fused GOP must leave slot 0 = newest so
+    a following GOP (fused or per-frame) continues bit-exactly."""
+    W, H = 64, 48
+    v = MobiclipVersion.MODS_DS
+    B = 2
+    synths = [StreamSynthesizer(W, H, v, seed=s) for s in (41, 42)]
+    frames = [[s.iframe(0x18) if f == 0 else s.pframe() for s in synths]
+              for f in range(7)]
+    a = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    b = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    ga1 = a.decode_gop(frames[:4], fused=True)
+    ga2 = a.decode_gop(frames[4:], fused=True)
+    for f in range(7):
+        per = b.decode_frames(frames[f])
+        got = ga1[f] if f < 4 else ga2[f - 4]
+        np.testing.assert_array_equal(got, per, err_msg=f"frame {f}")
+
+
+def test_vmem_decode_gops_streaming_matches():
+    """The overlapped multi-GOP streaming API must yield the same planes
+    as per-GOP fused decoding, in order."""
+    W, H = 64, 48
+    v = MobiclipVersion.MODS_DS
+    B = 2
+    synths = [StreamSynthesizer(W, H, v, seed=s) for s in (51, 52)]
+    gops = []
+    for _ in range(3):
+        gops.append([[s.iframe(0x18) if f == 0 else s.pframe()
+                      for s in synths] for f in range(3)])
+    a = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    b = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    got = list(a.decode_gops(iter(gops)))
+    assert len(got) == 3
+    for g, arr in enumerate(got):
+        exp = b.decode_gop(gops[g], fused=True)
+        np.testing.assert_array_equal(arr, exp, err_msg=f"gop {g}")
