@@ -1032,6 +1032,9 @@ class VmemBatchDecoder:
         self.interpret = bool(interpret)
         _hh, G8, SP = _geom(height, self.stride)
         self.ring = jnp.zeros((batch, 6, G8, 8, SP), jnp.int32)
+        # per-round kernels hold one stream's whole ring as a VMEM block;
+        # beyond this the fused kernel's HBM-ring mode takes over
+        self._ring_hbm = 6 * G8 * 8 * SP * 4 > _VMEM_RING_BUDGET
         from ..runtime.metrics import DecodeMetrics
         self.metrics = DecodeMetrics()
 
@@ -1078,8 +1081,24 @@ class VmemBatchDecoder:
 
         Stages carry jax.profiler trace annotations (SURVEY.md §5 tracing)
         so `jax.profiler.trace()` captures host-scan vs device-decode split;
-        wall-clock lands in self.metrics."""
+        wall-clock lands in self.metrics.
+
+        Large geometries (Wii MOC5: stride 1024) exceed the per-round
+        kernel's VMEM ring block; those route through the fused kernel with
+        F=1, whose unstaged mode keeps the ring in HBM."""
         import time
+        if self._ring_hbm:
+            t0 = time.perf_counter()
+            t1, yuv = self._dispatch_gop_fused([packets])
+            out = np.asarray(yuv)[0]
+            t2 = time.perf_counter()
+            m = self.metrics
+            m.frames += self.B
+            m.bytes_in += sum(len(p) for p in packets)
+            m.scan_seconds += t1 - t0
+            m.device_seconds += t2 - t1
+            m.wall_seconds += t2 - t0
+            return out
         t0 = time.perf_counter()
         with jax.profiler.TraceAnnotation("mobiclip.scan"):
             ops, coefs, sizes = self.scan_packets(packets)

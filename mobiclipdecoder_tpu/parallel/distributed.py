@@ -95,23 +95,45 @@ def run_worker(files: list[str | Path], out_dir: str | Path,
                          MobiclipVersion.MODS_DS)
 
     frames = 0
+
+    def _finish(shard, out, ledger):
+        nonlocal frames
+        np.save(out_dir / f"f{shard.file_id}_g{shard.gop_index}.npy", out)
+        ledger.write(json.dumps({"file_id": shard.file_id,
+                                 "gop_index": shard.gop_index,
+                                 "frames": shard.frame_count}) + "\n")
+        ledger.flush()
+        prog.mark(shard)
+        frames += shard.frame_count
+
     with open(ledger_path, "a") as ledger:
-        for shard in pending:
-            W, H, ver = geos[shard.file_id]
-            dec = _make_decoder(W, H, engine, ver)
-            planes = []
-            for pkt in shard.packets:
-                y, uv = _decode_one(dec, pkt)
-                planes.append(np.concatenate([y, uv], axis=0))
-            out = np.stack(planes)  # (F, HH, S) uint8
-            np.save(out_dir / f"f{shard.file_id}_g{shard.gop_index}.npy",
-                    out)
-            ledger.write(json.dumps({"file_id": shard.file_id,
-                                     "gop_index": shard.gop_index,
-                                     "frames": shard.frame_count}) + "\n")
-            ledger.flush()
-            prog.mark(shard)
-            frames += shard.frame_count
+        if engine == "tpu":
+            # lockstep batching: group same-(geometry, length) shards and
+            # decode up to `batch` of them per fused-GOP device program
+            # (BASELINE.md: many small streams at once is what fills a chip)
+            groups: dict[tuple, list] = {}
+            for shard in pending:
+                key = geos[shard.file_id] + (shard.frame_count,)
+                groups.setdefault(key, []).append(shard)
+            from ..ops.vmem_engine import VmemBatchDecoder
+            for (W, H, ver, F), shards in groups.items():
+                for i in range(0, len(shards), batch):
+                    grp = shards[i:i + batch]
+                    bd = VmemBatchDecoder(W, H, ver, batch=len(grp))
+                    gop = [[grp[b].packets[f] for b in range(len(grp))]
+                           for f in range(F)]
+                    out = bd.decode_gop(gop, fused=True)  # (F, B, HH, S)
+                    for b, shard in enumerate(grp):
+                        _finish(shard, out[:, b], ledger)
+        else:
+            for shard in pending:
+                W, H, ver = geos[shard.file_id]
+                dec = _make_decoder(W, H, engine, ver)
+                planes = []
+                for pkt in shard.packets:
+                    y, uv = _decode_one(dec, pkt)
+                    planes.append(np.concatenate([y, uv], axis=0))
+                _finish(shard, np.stack(planes), ledger)
     return {"worker": worker_id, "n_workers": n_workers,
             "shards_total": len(mine), "shards_decoded": len(pending),
             "shards_skipped": len(mine) - len(pending), "frames": frames}

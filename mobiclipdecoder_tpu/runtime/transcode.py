@@ -71,16 +71,11 @@ def _make_video_decoder(width: int, height: int, version: MobiclipVersion,
         return OracleDecoder(width, height, version)
     if engine == "tpu":
         # the VMEM sequential-executor kernel: the single-chip hot path.
-        # Its 6-slot ring must fit VMEM; Wii-size frames (stride 1024, e.g.
-        # MOC5 640x480) exceed it, so they take the wavefront XLA engine,
-        # which tiles over HBM instead (SURVEY.md §5 long-context analog).
-        hh = height + height // 2
-        ring_bytes = 6 * (hh + 32) * (width_stride(width) + 128) * 4
-        if ring_bytes <= 12 * 2 ** 20:
-            from ..ops.vmem_engine import VmemVideoDecoder
-            return VmemVideoDecoder(width, height, version)
-        from ..models.pipeline import JaxVideoDecoder
-        return JaxVideoDecoder(width, height, version)
+        # Wii-size frames (stride 1024, e.g. MOC5 640x480), whose 6-slot
+        # ring exceeds VMEM, automatically route through its fused kernel's
+        # HBM-ring mode (VmemBatchDecoder._ring_hbm).
+        from ..ops.vmem_engine import VmemVideoDecoder
+        return VmemVideoDecoder(width, height, version)
     if engine == "tpu-xla":
         # the wavefront XLA engine (mesh-shardable; slower single-chip)
         from ..models.pipeline import JaxVideoDecoder

@@ -66,3 +66,20 @@ def test_sharded_results_match_straight_decode(tmp_path):
     got = np.concatenate([np.load(out / "f0_g0.npy"),
                           np.load(out / "f0_g1.npy")], axis=0)
     np.testing.assert_array_equal(got, np.stack(ref))
+
+def test_tpu_worker_lockstep_batching_matches_oracle(tmp_path):
+    """engine="tpu" groups same-shape shards into one fused-GOP program;
+    outputs must equal the oracle worker's shard files exactly."""
+    files = _corpus(tmp_path, n_files=3)
+    out_t = tmp_path / "out_tpu"
+    out_o = tmp_path / "out_oracle"
+    st = run_worker(files, out_t, worker_id=0, n_workers=1, engine="tpu",
+                    batch=4)
+    so = run_worker(files, out_o, worker_id=0, n_workers=1, engine="oracle")
+    assert st["frames"] == so["frames"] > 0
+    npys = sorted(p.name for p in out_o.glob("*.npy"))
+    assert npys and npys == sorted(p.name for p in out_t.glob("*.npy"))
+    for name in npys:
+        a = np.load(out_t / name)
+        b = np.load(out_o / name)
+        np.testing.assert_array_equal(a, b, err_msg=name)

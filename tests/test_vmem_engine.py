@@ -198,3 +198,32 @@ def test_vmem_decode_gops_streaming_matches():
     for g, arr in enumerate(got):
         exp = b.decode_gop(gops[g], fused=True)
         np.testing.assert_array_equal(arr, exp, err_msg=f"gop {g}")
+
+
+def test_vmem_wii_size_hbm_ring_matches_oracle(monkeypatch):
+    """Wii-geometry streams (ring > VMEM budget) must decode through the
+    fused kernel's HBM-ring (unstaged) mode, bit-exact vs the oracle.  The
+    budget is patched to 0 so a small test geometry exercises that mode
+    (real Wii 640x480 trips it naturally: 19.8 MiB ring)."""
+    from mobiclipdecoder_tpu.ops import vmem_engine as ve
+    monkeypatch.setattr(ve, "_VMEM_RING_BUDGET", 0)
+    W, H = 96, 80  # geometry unique to this test (executor builds are
+    #                lru-cached per shape and would otherwise collide with
+    #                a staged build of the same shape)
+    v = MobiclipVersion.MOFLEX_3DS
+    synth = StreamSynthesizer(W, H, v, seed=9)
+    oracle = OracleDecoder(W, H, v)
+    eng = ve.VmemVideoDecoder(W, H, v, interpret=True, native=False)
+    assert eng._ring_hbm
+    for i in range(3):
+        pkt = synth.iframe(0x18) if i == 0 else synth.pframe()
+        oracle.data = pkt
+        oracle.offset = 0
+        oracle.decode_frame()
+        y_t, uv_t = eng.decode_frame(pkt)
+        S = oracle.stride
+        np.testing.assert_array_equal(
+            oracle.y_planes[0].reshape(-1, S), y_t, err_msg=f"frame {i} Y")
+        np.testing.assert_array_equal(
+            oracle.uv_planes[0].reshape(-1, S), uv_t,
+            err_msg=f"frame {i} UV")
