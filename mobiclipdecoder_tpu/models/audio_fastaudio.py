@@ -97,9 +97,10 @@ class FastAudioDecoder:
             dst += 1
         return dst
 
-    def decode(self) -> np.ndarray:
-        """Decode (FastAudioDecoder.cs:41-72): one 40-byte packet -> 256
-        int16 samples; advances self.offset."""
+    def excitation(self) -> tuple[np.ndarray, list[int]]:
+        """Parse one packet into (excitation (256,) int64, 8 LPC coefs) —
+        the bitstream half of decode(); the synthesis filter can then run
+        here (decode) or batched on device (ops/audio_lpc.py)."""
         self._unpack()
         inr = self.internal
         out = np.zeros(256, dtype=np.int64)
@@ -110,6 +111,13 @@ class FastAudioDecoder:
             pulses = self._pulse[toff + idxs]
             dst = self._pulse_block(out, dst, pulses, int(inr[8 + blk]))
         coef = [_s32(int(inr[7 - j])) for j in range(8)]
+        return out, coef
+
+    def decode(self) -> np.ndarray:
+        """Decode (FastAudioDecoder.cs:41-72): one 40-byte packet -> 256
+        int16 samples; advances self.offset."""
+        out, coef = self.excitation()
+        inr = self.internal
         hist = [_s32(int(inr[107 - j])) for j in range(8)]  # j = 0..7
         r9 = _s32(int(inr[109]))
         result = np.empty(256, dtype=np.int16)

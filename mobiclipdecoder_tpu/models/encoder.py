@@ -212,6 +212,7 @@ class MobiclipEncoder:
         self.coefc = _CoefCodec(0)
         self.last_frame_bits = 0
         self.last_frame_was_i = True
+        self._qcache: dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------ twin state
     def _snapshot(self):
@@ -234,21 +235,34 @@ class MobiclipEncoder:
         return 0.85 * 2.0 ** ((self.qp - 12) / 3.0)
 
     # ------------------------------------------------------------ transforms
+    def _qtables(self, n: int):
+        """Per-(QP, n) vectorized views of the twin's packed dequant
+        entries: (raster positions in scan order, scales in scan order,
+        per-raster-position scale)."""
+        key = (self.twin.quantizer, n)
+        cached = self._qcache.get(key)
+        if cached is None:
+            base = 10 if n == 8 else 74
+            packed = self.twin.internal[base:base + n * n].astype(np.int64)
+            pos = (packed & 0xFF).astype(np.int64)
+            scale = (packed & 0xFFFFFFFF) >> 8
+            scale_by_pos = np.zeros(n * n, np.int64)
+            scale_by_pos[pos] = scale
+            cached = (pos, scale, scale_by_pos)
+            self._qcache[key] = cached
+        return cached
+
     def _quant_block(self, resid: np.ndarray, n: int) -> np.ndarray:
         """Quantize a residual into VLC levels via the twin's packed dequant
         entries (scale per scan position)."""
         coefs = _forward(resid)
-        base = 10 if n == 8 else 74
-        packed = self.twin.internal[base:base + n * n].astype(np.int64)
-        levels = np.zeros((n, n), np.int64)
-        for scan in range(n * n):
-            pos = int(packed[scan]) & 0xFF
-            scale = (int(packed[scan]) & 0xFFFFFFFF) >> 8
-            if scale == 0:
-                continue
-            lv = int(np.round(coefs[pos // n, pos % n] / scale))
-            levels[pos // n, pos % n] = max(-2047, min(2047, lv))
-        return levels
+        pos, scale, _ = self._qtables(n)
+        vals = coefs.ravel()[pos]
+        lv = np.round(vals / np.where(scale == 0, 1, scale))
+        lv = np.where(scale == 0, 0, np.clip(lv, -2047, 2047))
+        levels = np.zeros(n * n, np.int64)
+        levels[pos] = lv.astype(np.int64)
+        return levels.reshape(n, n)
 
     def _coef_tokens(self, levels: np.ndarray, n: int) -> list | None:
         """Run-level tokens in scan order, or None when all-zero."""
@@ -271,15 +285,8 @@ class MobiclipEncoder:
                       levels: np.ndarray) -> None:
         """Reconstruct through the twin: dequantize the emitted levels with
         the packed tables and run the real IDCT add-saturate."""
-        base = 10 if n == 8 else 74
-        packed = self.twin.internal[base:base + n * n].astype(np.int64)
-        dense = np.zeros((n, n), np.int32)
-        for scan in range(n * n):
-            pos = int(packed[scan]) & 0xFF
-            scale = (int(packed[scan]) & 0xFFFFFFFF) >> 8
-            lv = int(levels[pos // n, pos % n])
-            if lv:
-                dense[pos // n, pos % n] = lv * scale
+        _, _, scale_by_pos = self._qtables(n)
+        dense = (levels.ravel() * scale_by_pos).astype(np.int32).reshape(n, n)
         self.twin._apply_idct(plane, off, n, (dense, 74 if n == 8 else 90))
 
     # --------------------------------------------------------------- helpers
