@@ -1144,10 +1144,15 @@ class VmemBatchDecoder:
         """Scan + pack + dispatch one GOP through the fused single-launch
         path; returns (scan_end_time, device yuv array) WITHOUT blocking on
         the result (dispatch is async)."""
-        import time
-        F = len(frames)
         with jax.profiler.TraceAnnotation("mobiclip.scan"):
             plans_fb = [self._scan_all(fp) for fp in frames]
+        return self._dispatch_plans(plans_fb)
+
+    def _dispatch_plans(self, plans_fb: list[list[dict]]):
+        """Pack pre-scanned per-frame plans and dispatch the fused GOP."""
+        import time
+        F = len(plans_fb)
+        with jax.profiler.TraceAnnotation("mobiclip.pack"):
             ops, coefs, sizes = _pack_gop_chunks(plans_fb, self.B)
         t1 = time.perf_counter()
         nct = ops.shape[1]
@@ -1270,6 +1275,47 @@ class VmemBatchDecoder:
 
 class VmemVideoDecoder(VmemBatchDecoder):
     """Single-stream convenience wrapper (JaxVideoDecoder-compatible)."""
+
+    def decode_stream_chunk(self, packets: list[bytes]
+                            ) -> tuple[np.ndarray, list[int], int | None]:
+        """Decode consecutive frames of ONE stream as a single fused
+        dispatch (one upload + one fetch instead of one per frame — the
+        transcoder's throughput path).  Scans run per packet so each
+        frame's bitstream end offset is captured (MODS audio packets start
+        where the video reader stopped, Program.cs:250-252).
+
+        Returns (yuv (K, HH, S) uint8, K end offsets, err_index): the K
+        successfully scanned prefix frames are decoded and committed to
+        the ring; ``err_index`` is the index of the packet whose scan
+        failed (its frame is NOT decoded — per-frame containment is the
+        caller's job, matching the reference player's swallow policy), or
+        None when the whole chunk scanned.
+        """
+        import time
+        t0 = time.perf_counter()
+        plans_fb: list[list[dict]] = []
+        offsets: list[int] = []
+        err = None
+        for i, pkt in enumerate(packets):
+            try:
+                plans_fb.append([self._scan_one(0, pkt)])
+                offsets.append(self.offset)
+            except Exception:
+                err = i
+                break
+        if not plans_fb:
+            return (np.zeros((0, self.height + self.height // 2,
+                              self.stride), np.uint8), [], err)
+        t1, yuv = self._dispatch_plans(plans_fb)
+        out = np.asarray(yuv)[:, 0]
+        t2 = time.perf_counter()
+        m = self.metrics
+        m.frames += len(plans_fb)
+        m.bytes_in += sum(len(p) for p in packets[:len(plans_fb)])
+        m.scan_seconds += t1 - t0
+        m.device_seconds += t2 - t1
+        m.wall_seconds += t2 - t0
+        return out, offsets, err
 
     def __init__(self, width: int, height: int, version,
                  interpret: bool | None = None, native: bool | None = None):

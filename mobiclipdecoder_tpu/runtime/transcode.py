@@ -83,9 +83,18 @@ def _make_video_decoder(width: int, height: int, version: MobiclipVersion,
     raise ValueError(f"unknown engine {engine!r}")
 
 
+#: frames decoded per fused device dispatch on the chunked transcode path
+#: (amortizes the per-dispatch/per-fetch round-trip cost of a tunneled chip)
+CHUNK_FRAMES = 16
+
+
 def decode_mods(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
     """Decode a MODS container (video + MODS-style per-frame audio packets,
-    Program.cs:206-358).  Yields DecodedFrame per frame."""
+    Program.cs:206-358).  Yields DecodedFrame per frame.
+
+    With a chunk-capable device engine, CHUNK_FRAMES frames go through one
+    fused device dispatch; the per-frame bitstream end offsets the audio
+    layer needs come from the host scanner."""
     dm = ModsDemuxer(data)
     h = dm.header
     W, H = h.width, h.height
@@ -102,69 +111,111 @@ def decode_mods(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
 
     adpcm, sxd, fad, sx_init = _fresh_decoders()
     queues: list[list[np.ndarray]] = [[] for _ in range(nch)]
-    cur_channel = 0
-    frame_idx = 0
-    while True:
-        rec = dm.read_frame()
-        if rec is None:
-            return
+    state = {"cur_channel": 0, "frame_idx": 0}
+
+    def audio_for(pkt: bytes, n_audio: int, is_key: bool,
+                  end_off: int) -> np.ndarray | None:
+        nonlocal adpcm, sxd, fad, sx_init, queues
+        if n_audio <= 0 or not has_audio:
+            return None
+        # audio starts where the video bit reader stopped, minus its
+        # one-word over-read (Program.cs:250-252); TagId 'N3' quirk: +4
+        off = end_off - 2
+        if h.tag_id == 0x334E and len(pkt) >= 2 \
+                and (pkt[0] | (pkt[1] << 8)) & 0x8000:
+            off += 4
+        if is_key and h.audio_codec == 3:
+            # IMA resets at keyframes (Program.cs:255-265)
+            adpcm, sxd, fad, sx_init = _fresh_decoders()
+            queues = [[] for _ in range(nch)]
+        cur_channel = state["cur_channel"]
+        for _ in range(n_audio):
+            if h.audio_codec == 3:          # IMA ADPCM
+                d = adpcm[cur_channel]
+                ln = 128 + (0 if d.is_init else 4)
+                queues[cur_channel].append(d.decode(pkt, off, ln))
+                off += ln
+            elif h.audio_codec == 1:        # Sx (Program.cs:277-287)
+                s = sxd[cur_channel]
+                if not sx_init[cur_channel]:
+                    s.codebook = dm.audio_codebooks[cur_channel]
+                    sx_init[cur_channel] = True
+                s.data = pkt
+                s.offset = off
+                queues[cur_channel].append(s.decode())
+                off = s.offset
+            elif h.audio_codec == 2:        # FastAudio (Program.cs:289-300)
+                f = fad[cur_channel]
+                f.data = pkt
+                f.offset = off
+                queues[cur_channel].append(f.decode())
+                off = f.offset
+            cur_channel = (cur_channel + 1) % nch
+        state["cur_channel"] = cur_channel
+        smallest = min((sum(len(a) for a in q) for q in queues), default=0)
+        if smallest <= 0:
+            return None
+        chans = []
+        for i in range(nch):
+            buf = np.concatenate(queues[i]) if queues[i] else \
+                np.empty(0, np.int16)
+            chans.append(buf[:smallest])
+            rest = buf[smallest:]
+            queues[i] = [rest] if len(rest) else []
+        return rawio.interleave_channels(chans)
+
+    def emit(y, uv, rec, end_off, corrupt) -> DecodedFrame:
         pkt, n_audio, is_key = rec
-        if isinstance(dec, OracleDecoder):
-            dec.data = pkt
-            dec.offset = 0
-        y, uv, end_off, corrupt = _decode_contained(dec, pkt)
-        pcm = None
-        if n_audio > 0 and has_audio and not corrupt:
-            # audio starts where the video bit reader stopped, minus its
-            # one-word over-read (Program.cs:250-252); TagId 'N3' quirk: +4
-            off = end_off - 2
-            if h.tag_id == 0x334E and len(pkt) >= 2 \
-                    and (pkt[0] | (pkt[1] << 8)) & 0x8000:
-                off += 4
-            if is_key and h.audio_codec == 3:
-                # IMA resets at keyframes (Program.cs:255-265)
-                adpcm, sxd, fad, sx_init = _fresh_decoders()
-                queues = [[] for _ in range(nch)]
-            for _ in range(n_audio):
-                if h.audio_codec == 3:          # IMA ADPCM
-                    d = adpcm[cur_channel]
-                    ln = 128 + (0 if d.is_init else 4)
-                    queues[cur_channel].append(d.decode(pkt, off, ln))
-                    off += ln
-                elif h.audio_codec == 1:        # Sx (Program.cs:277-287)
-                    s = sxd[cur_channel]
-                    if not sx_init[cur_channel]:
-                        s.codebook = dm.audio_codebooks[cur_channel]
-                        sx_init[cur_channel] = True
-                    s.data = pkt
-                    s.offset = off
-                    queues[cur_channel].append(s.decode())
-                    off = s.offset
-                elif h.audio_codec == 2:        # FastAudio (Program.cs:289-300)
-                    f = fad[cur_channel]
-                    f.data = pkt
-                    f.offset = off
-                    queues[cur_channel].append(f.decode())
-                    off = f.offset
-                cur_channel = (cur_channel + 1) % nch
-            smallest = min((sum(len(a) for a in q) for q in queues),
-                           default=0)
-            if smallest > 0:
-                chans = []
-                for i in range(nch):
-                    buf = np.concatenate(queues[i]) if queues[i] else \
-                        np.empty(0, np.int16)
-                    chans.append(buf[:smallest])
-                    rest = buf[smallest:]
-                    queues[i] = [rest] if len(rest) else []
-                pcm = rawio.interleave_channels(chans)
-        yield DecodedFrame(
-            index=frame_idx,
+        pcm = None if corrupt else audio_for(pkt, n_audio, is_key, end_off)
+        fr = DecodedFrame(
+            index=state["frame_idx"],
             y=y[:H, :W].copy(),
             u=uv[:H // 2, :W // 2].copy(),
             v=uv[:H // 2, S // 2:S // 2 + W // 2].copy(),
             keyframe=is_key, pcm=pcm, corrupt=corrupt)
-        frame_idx += 1
+        state["frame_idx"] += 1
+        return fr
+
+    if hasattr(dec, "decode_stream_chunk"):
+        pending: list = []
+        eof = False
+        while True:
+            while not eof and len(pending) < CHUNK_FRAMES:
+                rec = dm.read_frame()
+                if rec is None:
+                    eof = True
+                    break
+                pending.append(rec)
+            if not pending:
+                return
+            yuv, offs, err = dec.decode_stream_chunk(
+                [p[0] for p in pending])
+            K = yuv.shape[0]
+            for k in range(K):
+                yield emit(yuv[k][:H], yuv[k][H:], pending[k], offs[k],
+                           False)
+            if err is not None:
+                # containment: the failed frame shows the last committed
+                # ring frame, like the reference player's `catch {}`
+                prev = np.asarray(dec.ring[0, 0]).reshape(-1, S + 128)
+                prev = prev[8:8 + H + H // 2, 8:8 + S].astype(np.uint8)
+                yield emit(prev[:H], prev[H:], pending[K],
+                           len(pending[K][0]), True)
+                pending = pending[K + 1:]
+            else:
+                pending = []
+        return
+
+    while True:
+        rec = dm.read_frame()
+        if rec is None:
+            return
+        pkt, _n_audio, _is_key = rec
+        if isinstance(dec, OracleDecoder):
+            dec.data = pkt
+            dec.offset = 0
+        y, uv, end_off, corrupt = _decode_contained(dec, pkt)
+        yield emit(y, uv, rec, end_off, corrupt)
 
 
 def transcode(path: str | Path, out_prefix: str | Path,
@@ -462,6 +513,42 @@ def decode_moflex(data: bytes, engine: str = "oracle",
         last_pos = dm.position
 
 
+def _chunked_video_frames(dec, packets, W: int, H: int,
+                          pcms=None) -> Iterator[DecodedFrame]:
+    """Shared chunked video-only consumption: CHUNK_FRAMES per fused
+    dispatch with per-frame containment (failed frame = last committed
+    ring frame, corrupt=True).  ``pcms`` optionally pairs each packet with
+    its PCM payload (VX2)."""
+    S = dec.stride
+    idx = 0
+
+    def emit(y, uv, corrupt):
+        nonlocal idx
+        fr = DecodedFrame(
+            index=idx, y=y[:H, :W].copy(),
+            u=uv[:H // 2, :W // 2].copy(),
+            v=uv[:H // 2, S // 2:S // 2 + W // 2].copy(),
+            keyframe=(idx == 0),
+            pcm=(pcms[idx] if pcms is not None else None),
+            corrupt=corrupt)
+        idx += 1
+        return fr
+
+    pending: list[bytes] = list(packets)
+    while pending:
+        yuv, _offs, err = dec.decode_stream_chunk(pending[:CHUNK_FRAMES])
+        K = yuv.shape[0]
+        for k in range(K):
+            yield emit(yuv[k][:H], yuv[k][H:], False)
+        if err is not None:
+            prev = np.asarray(dec.ring[0, 0]).reshape(-1, S + 128)
+            prev = prev[8:8 + H + H // 2, 8:8 + S].astype(np.uint8)
+            yield emit(prev[:H], prev[H:], True)
+            pending = pending[K + 1:]
+        else:
+            pending = pending[min(CHUNK_FRAMES, len(pending)):]
+
+
 def decode_moc5(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
     """Decode a MOC5 (Wii) container: video-only, Moflex3DS codec profile
     (Form1.cs:282-320; audio format unknown upstream, README.md:14)."""
@@ -470,6 +557,10 @@ def decode_moc5(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
     h = dm.header
     dec = _make_video_decoder(h.width, h.height, MobiclipVersion.MOFLEX_3DS,
                               engine)
+    if hasattr(dec, "decode_stream_chunk"):
+        yield from _chunked_video_frames(dec, dm.frames(),
+                                         h.width, h.height)
+        return
     S = dec.stride
     for i, pkt in enumerate(dm.frames()):
         if isinstance(dec, OracleDecoder):
@@ -490,6 +581,13 @@ def decode_vx2(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
     dm = Vx2Demuxer(data)
     dec = _make_video_decoder(VX2_WIDTH, VX2_HEIGHT,
                               MobiclipVersion.MOFLEX_3DS, engine)
+    if hasattr(dec, "decode_stream_chunk"):
+        recs = list(dm.frames())
+        pcms = [(np.frombuffer(p, dtype="<i2").copy() if p is not None
+                 else None) for _, p in recs]
+        yield from _chunked_video_frames(dec, [pkt for pkt, _ in recs],
+                                         VX2_WIDTH, VX2_HEIGHT, pcms=pcms)
+        return
     S = dec.stride
     for i, (pkt, pcm) in enumerate(dm.frames()):
         if isinstance(dec, OracleDecoder):

@@ -110,3 +110,43 @@ def test_cli_transcode(tmp_path):
     assert (tmp_path / "out.wav").exists()
     head = (tmp_path / "out.y4m").read_bytes()[:40]
     assert head.startswith(b"YUV4MPEG2 W64 H48")
+
+
+def test_e2e_tpu_chunked_containment_matches_policy():
+    """A corrupted mid-stream frame through the chunked tpu path must come
+    back corrupt=True showing the last committed frame, with later frames
+    decoding normally (frames after a corrupt one reference whatever state
+    exists, so only corruption flags — not pixels — are asserted there)."""
+    blob = bytearray(_build_fixture(nframes=6, seed=31, key_at=(0,)))
+    # flip bytes inside a late frame payload (last quarter of the blob)
+    for i in range(len(blob) * 3 // 4, len(blob) * 3 // 4 + 16):
+        blob[i] ^= 0xFF
+    frames = list(decode_mods(bytes(blob), engine="tpu"))
+    oracle = list(decode_mods(bytes(blob), engine="oracle"))
+    assert len(frames) == len(oracle) == 6
+    # frames before the first corruption must stay bit-exact; the stream
+    # must produce all 6 frames either way (containment, not crash)
+    for fa, fb in zip(oracle, frames):
+        if fa.corrupt or fb.corrupt:
+            break
+        np.testing.assert_array_equal(fa.y, fb.y)
+
+
+def test_e2e_tpu_chunk_boundary_exactness():
+    """More frames than CHUNK_FRAMES: chunk boundaries must be seamless."""
+    from mobiclipdecoder_tpu.runtime import transcode as tc
+    old = tc.CHUNK_FRAMES
+    tc.CHUNK_FRAMES = 3
+    try:
+        blob = _build_fixture(nframes=8, seed=13, key_at=(0, 4))
+        a = list(decode_mods(blob, engine="oracle"))
+        b = list(decode_mods(blob, engine="tpu"))
+        assert len(a) == len(b) == 8
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(fa.y, fb.y)
+            np.testing.assert_array_equal(fa.u, fb.u)
+            np.testing.assert_array_equal(fa.v, fb.v)
+            if fa.pcm is not None:
+                np.testing.assert_array_equal(fa.pcm, fb.pcm)
+    finally:
+        tc.CHUNK_FRAMES = old
