@@ -426,6 +426,38 @@ def decode_moflex(data: bytes, engine: str = "oracle",
              "idx": 0}
     out_frames: list[DecodedFrame] = []
     pcm_pending: list[np.ndarray] = []
+    pending_v: list[tuple[bytes, np.ndarray | None]] = []
+
+    def _emit(y, uv, pcm, corrupt) -> None:
+        W, H, S = state["W"], state["H"], state["S"]
+        out_frames.append(DecodedFrame(
+            index=state["idx"], y=y[:H, :W].copy(),
+            u=uv[:H // 2, :W // 2].copy(),
+            v=uv[:H // 2, S // 2:S // 2 + W // 2].copy(),
+            keyframe=False, pcm=pcm, corrupt=corrupt))
+        state["idx"] += 1
+
+    def _flush_chunk(final: bool) -> None:
+        """Decode buffered video payloads, CHUNK_FRAMES per fused
+        dispatch (device engines only)."""
+        dec = state["dec"]
+        H, S = state["H"], state["S"]
+        while pending_v and (final or len(pending_v) >= CHUNK_FRAMES):
+            batch = pending_v[:CHUNK_FRAMES]
+            if not final and len(batch) < CHUNK_FRAMES:
+                break
+            yuv, _offs, err = dec.decode_stream_chunk(
+                [p for p, _ in batch])
+            K = yuv.shape[0]
+            for k in range(K):
+                _emit(yuv[k][:H], yuv[k][H:], batch[k][1], False)
+            if err is not None:
+                prev = np.asarray(dec.ring[0, 0]).reshape(-1, S + 128)
+                prev = prev[8:8 + H + H // 2, 8:8 + S].astype(np.uint8)
+                _emit(prev[:H], prev[H:], batch[K][1], True)
+                del pending_v[:K + 1]
+            else:
+                del pending_v[:len(batch)]
 
     def on_frame(chunk, payload: bytes) -> None:
         if isinstance(chunk, (VideoStream, VideoStreamWithLayout)):
@@ -440,19 +472,17 @@ def decode_moflex(data: bytes, engine: str = "oracle",
                     engine)
                 state["S"] = state["dec"].stride
             dec = state["dec"]
+            pcm = (np.concatenate(pcm_pending) if pcm_pending else None)
+            pcm_pending.clear()
+            if hasattr(dec, "decode_stream_chunk"):
+                pending_v.append((payload, pcm))
+                _flush_chunk(final=False)
+                return
             if isinstance(dec, OracleDecoder):
                 dec.data = payload
                 dec.offset = 0
             y, uv, _end, corrupt = _decode_contained(dec, payload)
-            W, H, S = state["W"], state["H"], state["S"]
-            pcm = (np.concatenate(pcm_pending) if pcm_pending else None)
-            pcm_pending.clear()
-            out_frames.append(DecodedFrame(
-                index=state["idx"], y=y[:H, :W].copy(),
-                u=uv[:H // 2, :W // 2].copy(),
-                v=uv[:H // 2, S // 2:S // 2 + W // 2].copy(),
-                keyframe=False, pcm=pcm, corrupt=corrupt))
-            state["idx"] += 1
+            _emit(y, uv, pcm, corrupt)
         elif isinstance(chunk, AudioStream):
             try:
                 _decode_audio_chunk(chunk, payload)
@@ -511,6 +541,11 @@ def decode_moflex(data: bytes, engine: str = "oracle",
         else:
             stall = 0
         last_pos = dm.position
+    if pending_v and state["dec"] is not None:
+        _flush_chunk(final=True)
+        for fr in out_frames:
+            yield fr
+        out_frames.clear()
 
 
 def _chunked_video_frames(dec, packets, W: int, H: int,

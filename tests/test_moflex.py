@@ -103,3 +103,24 @@ def test_moflex_resync_after_garbage():
     dm.demux_all()
     vid = [d for ch, d in frames if isinstance(ch, VideoStream)]
     assert len(vid) == 4
+
+
+def test_moflex_e2e_tpu_chunk_boundaries():
+    """Chunk boundaries in the buffered moflex device path must be
+    seamless, including PCM attachment order."""
+    from mobiclipdecoder_tpu.runtime import transcode as tc
+    old = tc.CHUNK_FRAMES
+    tc.CHUNK_FRAMES = 2
+    try:
+        blob = _build_moflex()
+        a = list(decode_moflex(blob, engine="oracle"))
+        b = list(decode_moflex(blob, engine="tpu"))
+        assert len(a) == len(b) == 4
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(fa.y, fb.y)
+            if fa.pcm is None:
+                assert fb.pcm is None
+            else:
+                np.testing.assert_array_equal(fa.pcm, fb.pcm)
+    finally:
+        tc.CHUNK_FRAMES = old
