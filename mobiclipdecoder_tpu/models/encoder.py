@@ -213,6 +213,7 @@ class MobiclipEncoder:
         self.last_frame_bits = 0
         self.last_frame_was_i = True
         self._qcache: dict[tuple, tuple] = {}
+        self._sadvol = None
 
     # ------------------------------------------------------------ twin state
     def _snapshot(self):
@@ -803,12 +804,21 @@ class MobiclipEncoder:
                 + (((a[1:h + 1, :w] >> 1) + (a[1:h + 1, 1:w + 1] >> 1)) >> 1))
 
     def _search_block(self, target, bx, by, w, h, pred, nrefs):
-        """Diamond/log full-pel descent + half-pel refinement per reference
-        frame (Analyzer.cs:608-679 runs a log search over 5 refs).
-        Returns (cost, mode, mv): mode 0 = predicted-MV on ref 1, else the
-        1-based ref index."""
+        """Full-pel motion search + half-pel refinement per reference
+        frame.  8-aligned leaves use the device-computed full-search SAD
+        volume (ops/mesearch.py) — strictly stronger than the reference's
+        log descent (Analyzer.cs:608-679) and far cheaper on host; other
+        geometries fall back to the descent.  Returns (cost, mode, mv):
+        mode 0 = predicted-MV on ref 1, else the 1-based ref index."""
         lam = self._lambda
         lo_x, hi_x, lo_y, hi_y = self._mv_range(bx, by, w, h)
+        vol = self._sadvol
+        if (vol is not None and vol.vol is not None
+                and w % 8 == 0 and h % 8 == 0
+                and bx % 8 == 0 and by % 8 == 0):
+            return self._search_block_vol(
+                target, bx, by, w, h, pred, nrefs,
+                (lo_x, hi_x, lo_y, hi_y))
         best = None
         for ref in range(1, min(nrefs, self.max_refs) + 1):
             rplane = self.twin.y_planes[ref]
@@ -857,6 +867,49 @@ class MobiclipEncoder:
                 c0 = s + lam * _pb_code(w, h, self.profile, 0)[1]
                 if c0 < best[0]:
                     best = (c0, 0, pred)
+        return best
+
+    def _search_block_vol(self, target, bx, by, w, h, pred, nrefs, box):
+        """Volume-backed search: full-pel best per ref from the device SAD
+        volume, rate + 3x3 half-pel refinement on host for the top
+        candidates, plus the mode-0 predicted-MV option."""
+        lam = self._lambda
+        lo_x, hi_x, lo_y, hi_y = box
+        cands = self._sadvol.leaf_best(bx, by, w, h, lo_x, hi_x, lo_y,
+                                       hi_y, min(nrefs, self.max_refs))
+        best = None
+        for sad_fp, ref, (cx, cy) in cands[:2]:
+            if self.twin.y_planes[ref] is None:
+                continue
+            ref2d = self._plane2d(self.twin.y_planes[ref])
+            code_bits = _pb_code(w, h, self.profile, ref)[1]
+
+            def sad_at(dx, dy):
+                if not (lo_x <= dx <= hi_x and lo_y <= dy <= hi_y):
+                    return 1 << 60
+                return self._sad(
+                    self._fetch_pred(ref2d, bx, by, w, h, dx, dy), target)
+
+            csad = sad_fp
+            for ddx in (-1, 0, 1):
+                for ddy in (-1, 0, 1):
+                    if ddx or ddy:
+                        s = sad_at(cx + ddx, cy + ddy)
+                        if s < csad:
+                            cx, cy, csad = cx + ddx, cy + ddy, s
+            rate = code_bits + varint_s_nbits(cx - pred[0]) \
+                + varint_s_nbits(cy - pred[1])
+            cost = csad + lam * rate
+            if best is None or cost < best[0]:
+                best = (cost, ref, (cx, cy))
+        if self.twin.y_planes[1] is not None \
+                and lo_x <= pred[0] <= hi_x and lo_y <= pred[1] <= hi_y:
+            ref2d = self._plane2d(self.twin.y_planes[1])
+            s = self._sad(self._fetch_pred(ref2d, bx, by, w, h,
+                                           pred[0], pred[1]), target)
+            c0 = s + lam * _pb_code(w, h, self.profile, 0)[1]
+            if best is None or c0 < best[0]:
+                best = (c0, 0, pred)
         return best
 
     def _plan_ptree(self, bx, by, w, h, pred, nrefs):
@@ -917,6 +970,19 @@ class MobiclipEncoder:
         t.internal[218] = 0  # P-frames always use table 0
         nrefs = min(self.frame_idx, 5)
         self._tgt = y  # bound for _plan_ptree leaf SADs
+        # device full-search SAD volume over the available references
+        refs = []
+        for r in range(1, min(nrefs, self.max_refs) + 1):
+            pl = t.y_planes[r]
+            if pl is None:
+                break
+            refs.append(pl.reshape(-1, self.S)[:self.h, :self.w])
+        try:
+            from ..ops.mesearch import SadVolume
+            self._sadvol = SadVolume(y, refs, range_=self.me_range) \
+                if refs else None
+        except Exception:
+            self._sadvol = None  # jax unavailable: descent fallback
         # MV cache init, mirroring _decode_pframe exactly
         inr = t.internal
         io = 221
