@@ -5,11 +5,26 @@ a container file to raw .y4m video (+ .wav audio when present).
 """
 import argparse
 import json
+import os
 import sys
 import time
 
 
+def _honor_jax_platforms() -> None:
+    """Respect JAX_PLATFORMS even when site startup pre-imported jax with a
+    different platform (this image's sitecustomize pins the tunneled TPU);
+    env vars alone are too late once a backend is registered."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 def main(argv=None):
+    _honor_jax_platforms()
     p = argparse.ArgumentParser(prog="mobiclipdecoder_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     d = sub.add_parser("decode", help="decode a container file to raw A/V")
@@ -32,6 +47,16 @@ def main(argv=None):
     pl.add_argument("--dump-frame", type=int, default=None,
                     help="write RGB frame N as PPM")
     pl.add_argument("--dump-path", default=None)
+    b = sub.add_parser("batch", help="corpus decode: shard files into GOPs"
+                                     " and decode them lockstep-batched; "
+                                     "idempotent (ledger-resumable)")
+    b.add_argument("inputs", nargs="+", help="MODS/Moflex container files")
+    b.add_argument("out_dir")
+    b.add_argument("--engine", choices=["oracle", "tpu"], default="tpu")
+    b.add_argument("--worker-id", type=int, default=0)
+    b.add_argument("--n-workers", type=int, default=1)
+    b.add_argument("--batch", type=int, default=8,
+                   help="streams decoded per fused device program")
     e = sub.add_parser("encode", help="encode a .y4m file to a .moflex")
     e.add_argument("input")
     e.add_argument("output")
@@ -55,6 +80,15 @@ def main(argv=None):
                               realtime=not args.no_pacing,
                               dump_frame=args.dump_frame,
                               dump_path=args.dump_path)))
+    elif args.cmd == "batch":
+        from .parallel.distributed import run_worker
+        t0 = time.perf_counter()
+        stats = run_worker(args.inputs, args.out_dir,
+                           worker_id=args.worker_id,
+                           n_workers=args.n_workers,
+                           engine=args.engine, batch=args.batch)
+        stats["seconds"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(stats))
     elif args.cmd == "encode":
         from .runtime.transcode import encode_y4m_to_moflex
         t0 = time.perf_counter()
