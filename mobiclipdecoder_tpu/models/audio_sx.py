@@ -13,6 +13,14 @@ through little-endian u32 reads/writes; we keep exactly that representation —
 the layout (offsets 0x00 coefficient save, 0x60 gain, 0x64 flip flag,
 0x68-0x6B indices, 0x6C output cursor, 0x70 filter ring, 0xB8+ double
 excitation buffers) is part of the decoder's observable behavior.
+
+Why Sx stays host-side (unlike IMA's scan kernel and FastAudio's batched
+device lattice): `_expand_coefs`'s recursive pairwise mixing multiplies
+coefficients by each other, so the spec's intermediate magnitudes are
+unbounded (adversarial codebooks reach hundreds of bits — measured 130-bit
+values under random-codebook tests, which this oracle, being arbitrary
+precision, handles and any fixed-width device kernel cannot).  Channels
+are decoded in parallel on host instead.
 """
 from __future__ import annotations
 

@@ -1149,7 +1149,25 @@ class VmemBatchDecoder:
         return self._dispatch_plans(plans_fb)
 
     def _dispatch_plans(self, plans_fb: list[list[dict]]):
-        """Pack pre-scanned per-frame plans and dispatch the fused GOP."""
+        """Pack pre-scanned per-frame plans and dispatch the fused GOP.
+        A GOP whose packed chunk stream would overflow the largest bucket
+        is split into consecutive dispatches (the ring carries across them
+        — each dispatch leaves it renormalized), results concatenated on
+        device so there is still only one fetch."""
+        cap = NCT_BUCKETS[-1]
+        totals = [0] * self.B
+        for row in plans_fb:
+            for b, p in enumerate(row):
+                n = int(p["ops"][0, 0])
+                totals[b] += max(1, -(-n // (CHUNK - 1)))
+        if max(totals) > cap and len(plans_fb) > 1:
+            mid = len(plans_fb) // 2
+            t1a, ya = self._dispatch_plans(plans_fb[:mid])
+            t1b, yb = self._dispatch_plans(plans_fb[mid:])
+            return t1b, jnp.concatenate([ya, yb], axis=0)
+        return self._dispatch_plans_one(plans_fb)
+
+    def _dispatch_plans_one(self, plans_fb: list[list[dict]]):
         import time
         F = len(plans_fb)
         with jax.profiler.TraceAnnotation("mobiclip.pack"):

@@ -227,3 +227,21 @@ def test_vmem_wii_size_hbm_ring_matches_oracle(monkeypatch):
         np.testing.assert_array_equal(
             oracle.uv_planes[0].reshape(-1, S), uv_t,
             err_msg=f"frame {i} UV")
+
+
+def test_vmem_fused_gop_split_on_chunk_overflow(monkeypatch):
+    """A GOP exceeding the largest chunk bucket must transparently split
+    into multiple dispatches with identical results."""
+    from mobiclipdecoder_tpu.ops import vmem_engine as ve
+    W, H = 64, 48
+    v = MobiclipVersion.MODS_DS
+    B, F = 2, 6
+    synths = [StreamSynthesizer(W, H, v, seed=s) for s in (61, 62)]
+    frames = [[s.iframe(0x18) if f == 0 else s.pframe() for s in synths]
+              for f in range(F)]
+    a = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    b = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    ref = b.decode_gop(frames, fused=True)
+    monkeypatch.setattr(ve, "NCT_BUCKETS", (4,))  # force a split
+    got = a.decode_gop(frames, fused=True)
+    np.testing.assert_array_equal(got, ref)
