@@ -50,7 +50,7 @@ MCOL = 8     # left margin lanes
 # op stream is fed in 256-row chunks via a second grid dimension; each chunk
 # carries its own header row with its op count.
 CHUNK = 256
-NOPS_BUCKETS = (768, 3072, 12288)
+NOPS_BUCKETS = (768, 2048, 4096, 12288)
 NR_BUCKETS = (256, 1024, 4096, 12288)
 
 _HP = jax.lax.Precision.HIGHEST
@@ -734,6 +734,50 @@ def _decode_gop_fused(ring, ops, coefs, sizes, F: int, H: int, S: int,
     return ring2, yuv.astype(jnp.uint8)
 
 
+def _pack_gop_blob_sparse(ops, coefs, sizes):
+    """Host-side sparse pack for the fused whole-GOP path, or None when
+    the round must take the dense fallback.
+
+    Unlike _pack_blob_sparse, coefficient indices are PER STREAM (local to
+    stream b's (nct*CHUNK, 64) rows, padded to a common per-stream bucket)
+    so the device-side reconstruction is B independent scatters into
+    ~2.6 MB targets that stay VMEM-resident — a single whole-GOP scatter
+    into the 84 MB dense tensor degenerates to one HBM read-modify-write
+    per index (measured ~145 ns each vs ~12 ns on a small target).
+
+    Blob (int32): [ops3 | size_bits | idx (B, nnzb) | val16 (B, nnzb/2)].
+    """
+    B = sizes.shape[0]
+    rows = coefs.reshape(B, -1, 64).shape[1]
+    per_idx = [np.flatnonzero(coefs[b].reshape(-1)) for b in range(B)]
+    nnz_max = max(max((int(i.size) for i in per_idx), default=0), 2)
+    if nnz_max > NNZ_PS_BUCKETS[-1] or rows * 64 > (1 << 31) - 1:
+        return None
+    flat = coefs.reshape(-1)
+    if flat.size:
+        nz = flat[np.flatnonzero(flat)]
+        if nz.size and (int(nz.min()) < -32768 or int(nz.max()) > 32767):
+            return None
+    ops3 = _pack_ops3(ops)
+    if ops3 is None:
+        return None
+    nnzb = _bucket(nnz_max, NNZ_PS_BUCKETS)
+    idx_a = np.full((B, nnzb), rows * 64, np.int32)
+    val_a = np.zeros((B, nnzb), np.int16)
+    for b, idx in enumerate(per_idx):
+        idx_a[b, :idx.size] = idx
+        val_a[b, :idx.size] = coefs[b].reshape(-1)[idx].astype(np.int16)
+    nsb = (B * rows + 31) // 32
+    sbits = np.zeros(nsb * 32, np.uint32)
+    sbits[:B * rows] = (sizes.reshape(-1) == 4)
+    swords = (sbits.reshape(-1, 32)
+              << np.arange(32, dtype=np.uint32)).sum(
+                  axis=1, dtype=np.uint32).view(np.int32)
+    val_words = val_a.reshape(-1).astype('<i2').view('<i4').astype(np.int32)
+    blob = np.concatenate([ops3.ravel(), swords, idx_a.ravel(), val_words])
+    return blob, nnzb
+
+
 @functools.partial(jax.jit,
                    static_argnames=("F", "nct", "nnzb", "H", "S",
                                     "interpret"),
@@ -741,23 +785,30 @@ def _decode_gop_fused(ring, ops, coefs, sizes, F: int, H: int, S: int,
 def _decode_gop_fused_sblob(ring, blob, F: int, nct: int,
                             nnzb: int, H: int, S: int, interpret: bool):
     """Sparse-upload whole-GOP round: ONE host->device blob, ONE kernel
-    launch, ONE download (see _pack_blob_sparse)."""
+    launch, ONE download (see _pack_gop_blob_sparse)."""
     B = ring.shape[0]
     nrows = B * nct * CHUNK
-    a = nrows * 4
+    rows = nct * CHUNK
+    a = nrows * 3
     nsb = (nrows + 31) // 32
     b = a + nsb
-    c = b + nnzb
-    ops = blob[:a].reshape(B, nct, CHUNK, 4)
+    c = b + B * nnzb
+    ops = _unpack_ops3(blob[:a].reshape(B, nct, CHUNK, 3))
     sbits = blob[a:b]
-    idx = blob[b:c]
-    v32 = blob[c:c + nnzb // 2]
+    idx = blob[b:c].reshape(B, nnzb)
+    v32 = blob[c:c + B * nnzb // 2].reshape(B, nnzb // 2)
     lo = jax.lax.shift_right_arithmetic(v32 << 16, 16)
     hi = jax.lax.shift_right_arithmetic(v32, 16)
-    val = jnp.stack([lo, hi], axis=1).reshape(-1)
-    dense = jnp.zeros(nrows * 64, jnp.int32).at[idx].add(
-        val, mode="drop", indices_are_sorted=True, unique_indices=True)
-    coefs = dense.reshape(B, nct, CHUNK, 64)
+    val = jnp.stack([lo, hi], axis=2).reshape(B, nnzb)
+    # one scatter per stream: each (rows*64,) = ~2.6 MB target stays in
+    # VMEM, so the sorted+unique scatter runs at vector speed
+    denses = [
+        jnp.zeros(rows * 64, jnp.int32).at[idx[bb]].add(
+            val[bb], mode="drop", indices_are_sorted=True,
+            unique_indices=True)
+        for bb in range(B)
+    ]
+    coefs = jnp.stack(denses).reshape(B, nct, CHUNK, 64)
     word = sbits[jnp.arange(nrows) // 32]
     bit = (word >> (jnp.arange(nrows) % 32)) & 1
     sizes = jnp.where(bit == 1, 4, 8).astype(jnp.int32).reshape(B, nct,
@@ -837,23 +888,73 @@ def decode_round_sharded(mesh, ring, ops, coefs, sizes, H: int, S: int,
 # and the host->device upload is the dominant cost of a round on a
 # tunneled chip (~125 MB/s measured), so this is the headline lever.
 NNZ_BUCKETS = (8192, 24576, 98304, 393216, 786432, 1572864)
+# Per-STREAM nnz buckets for the fused whole-GOP path (see
+# _pack_gop_blob_sparse): one scatter per stream into an ~2.6 MB target
+# that XLA keeps VMEM-resident — measured ~12 ns/index vs ~145 ns/index
+# for a single scatter into the 84 MB whole-GOP dense tensor (each index
+# becomes an HBM RMW once the target exceeds VMEM).
+NNZ_PS_BUCKETS = (16384, 65536, 262144)
+
+
+def _pack_ops3(ops: np.ndarray):
+    """Pack (..., 4) int32 op rows into (..., 3) for upload, or None when a
+    field exceeds its packed width (caller falls back to the 4-word form).
+
+    Op rows (models/plan.py pack_unified) are [w0, w1=rr|cc<<16, w2, w3]
+    with w0 using bits 0..25, rr/cc < 4096 (row/col inside the padded
+    plane; Wii stride 1024 + margins < 1216), and w3 a coefficient-row
+    index < 2^14 (NR_BUCKETS max 12288; chunk-local fused indices < 256).
+    Packed: A = w0 | (w3>>8)<<26;  B = rr | cc<<12 | (w3&0xFF)<<24;  C = w2.
+    Chunk header rows [count, frame, first, last] satisfy the same bounds
+    (count < 2^26, frame < 4096, last < 2^14) so they round-trip too.
+    w2 (MV pair / plane gradient) keeps its full 32 bits.
+    """
+    o = ops.astype(np.int64) & 0xFFFFFFFF
+    w0, w1, w3 = o[..., 0], o[..., 1], o[..., 3]
+    rr = w1 & 0xFFFF
+    cc = (w1 >> 16) & 0xFFFF
+    if int(w0.max(initial=0)) >= 1 << 26:
+        return None
+    if int(rr.max(initial=0)) >= 1 << 12 or int(cc.max(initial=0)) >= 1 << 12:
+        return None
+    if int(w3.max(initial=0)) >= 1 << 14:
+        return None
+    a = w0 | (w3 >> 8) << 26
+    b = rr | cc << 12 | (w3 & 0xFF) << 24
+    packed = np.stack([a, b, o[..., 2]], axis=-1) & 0xFFFFFFFF
+    return np.ascontiguousarray(packed.astype(np.uint32)).view(np.int32)
+
+
+def _unpack_ops3(p3):
+    """Device-side inverse of _pack_ops3: (..., 3) -> (..., 4) int32."""
+    a = p3[..., 0]
+    b = p3[..., 1]
+    w0 = a & 0x03FFFFFF
+    w3 = ((jax.lax.shift_right_logical(a, 26) & 0x3F) << 8) \
+        | (jax.lax.shift_right_logical(b, 24) & 0xFF)
+    rr = b & 0xFFF
+    cc = jax.lax.shift_right_logical(b, 12) & 0xFFF
+    w1 = rr | (cc << 16)
+    return jnp.stack([w0, w1, p3[..., 2], w3], axis=-1)
 
 
 def _unpack_sparse(ring, blob, nchunk: int, nr: int, nnzb: int):
     """Device-side blob split + scatter back to the dense coef tensor.
 
-    Blob layout (int32): [ops | size_bits | idx | val16 pairs].  ``idx`` is
-    the flat index into (B*NR*64); ``val16`` holds two little-endian int16
-    levels per word.  Real indices are ascending and unique (flatnonzero
-    order) — declared to XLA so the scatter vectorizes; padding entries
-    point one past the end and are dropped.
+    Blob layout (int32): [ops3 | size_bits | idx | val16 pairs].  ``ops3``
+    is the 3-word packed op stream (_pack_ops3, widened back to 4 words
+    here — 25% off the dominant upload term).  ``idx`` is the flat index
+    into (B*NR*64); ``val16`` holds two little-endian int16 levels per
+    word.  Real indices are ascending and unique (flatnonzero order) —
+    declared to XLA so the scatter vectorizes; padding entries point one
+    past the end and are dropped.
     """
     B = ring.shape[0]
-    a = B * nchunk * CHUNK * 4
+    a = B * nchunk * CHUNK * 3
     nsb = (B * nr + 31) // 32
     b = a + nsb
     c = b + nnzb
-    ops = blob[:a].reshape(B, nchunk, CHUNK, 4)
+    ops = _unpack_ops3(blob[:a].reshape(B, nchunk, CHUNK, 3))
     sbits = blob[a:b]
     idx = blob[b:c]
     v32 = blob[c:c + nnzb // 2]
@@ -884,6 +985,9 @@ def _pack_blob_sparse(ops, coefs, sizes):
     if val.size and (int(val.min()) < -32768 or int(val.max()) > 32767):
         return None
     nnzb = _bucket(max(int(idx.size), 2), NNZ_BUCKETS)
+    ops3 = _pack_ops3(ops)
+    if ops3 is None:
+        return None
     # padding indices point one past the end: dropped by the device-side
     # scatter (mode="drop"), keeping the real index list sorted+unique
     idx_a = np.full(nnzb, B * nr * 64, np.int32)
@@ -899,7 +1003,7 @@ def _pack_blob_sparse(ops, coefs, sizes):
     # Explicit little-endian pack so the device-side low/high int16 split in
     # _unpack_sparse holds regardless of host byte order.
     val_words = val_a.astype('<i2').view('<i4').astype(np.int32)
-    blob = np.concatenate([ops.ravel(), swords, idx_a, val_words])
+    blob = np.concatenate([ops3.ravel(), swords, idx_a, val_words])
     return blob, nnzb
 
 
@@ -1174,8 +1278,8 @@ class VmemBatchDecoder:
             ops, coefs, sizes = _pack_gop_chunks(plans_fb, self.B)
         t1 = time.perf_counter()
         nct = ops.shape[1]
-        sp = _pack_blob_sparse(ops, coefs,
-                               sizes.reshape(self.B, nct * CHUNK))
+        sp = _pack_gop_blob_sparse(ops, coefs,
+                                   sizes.reshape(self.B, nct * CHUNK))
         if sp is not None:
             blob, nnzb = sp
             self.ring, yuv = _decode_gop_fused_sblob(
