@@ -657,48 +657,40 @@ def _pack_gop_chunks(plans_fb: list[list[dict]], B: int) -> tuple:
     device-side residual block stays a fixed (CHUNK, 64) slice."""
     F = len(plans_fb)
     cap = CHUNK - 1
-    per_stream: list[list[np.ndarray]] = [[] for _ in range(B)]
-    coef_chunks: list[list[np.ndarray]] = [[] for _ in range(B)]
-    size_chunks: list[list[np.ndarray]] = [[] for _ in range(B)]
-    for b in range(B):
-        for f in range(F):
-            p = plans_fb[f][b]
-            n = int(p["ops"][0, 0])
-            rows = p["ops"][1:1 + n]
-            nchunks = max(1, -(-n // cap))
-            for c in range(nchunks):
-                seg = rows[c * cap:(c + 1) * cap].copy()
-                # chunk-local coefficient rows: gather the rows this
-                # chunk's ops reference; each row has exactly one
-                # referencing op, in decode order
-                typ = seg[:, 0] & 3
-                used = ((typ == OP_RESID)
-                        | ((typ == OP_INTRA) & ((seg[:, 0] >> 10) & 1 == 1)))
-                refs = seg[used, 3]
-                seg[:, 3] = 0
-                seg[used, 3] = np.arange(refs.shape[0], dtype=np.int32)
-                ck = np.zeros((CHUNK, 64), np.int32)
-                sk = np.full(CHUNK, 8, np.int32)
-                if refs.shape[0]:
-                    ck[:refs.shape[0]] = p["coefs"][refs]
-                    sk[:refs.shape[0]] = p["sizes"][refs]
-                chunk = np.zeros((CHUNK, 4), np.int32)
-                chunk[0] = (seg.shape[0], f,
-                            1 if c == 0 else 0,
-                            1 if c == nchunks - 1 else 0)
-                chunk[1:1 + seg.shape[0]] = seg
-                per_stream[b].append(chunk)
-                coef_chunks[b].append(ck)
-                size_chunks[b].append(sk)
-    nct = _bucket(max(len(sc) for sc in per_stream), NCT_BUCKETS)
+    nchunks_fb = [[max(1, -(-int(plans_fb[f][b]["ops"][0, 0]) // cap))
+                   for f in range(F)] for b in range(B)]
+    nct = _bucket(max(sum(nc) for nc in nchunks_fb), NCT_BUCKETS)
     ops = np.zeros((B, nct, CHUNK, 4), np.int32)
     coefs = np.zeros((B, nct, CHUNK, 64), np.int32)
     sizes = np.full((B, nct, CHUNK), 8, np.int32)
     for b in range(B):
-        k = len(per_stream[b])
-        ops[b, :k] = per_stream[b]
-        coefs[b, :k] = coef_chunks[b]
-        sizes[b, :k] = size_chunks[b]
+        k = 0
+        for f in range(F):
+            p = plans_fb[f][b]
+            n = int(p["ops"][0, 0])
+            rows = p["ops"][1:1 + n]
+            nchunks = nchunks_fb[b][f]
+            for c in range(nchunks):
+                seg = rows[c * cap:(c + 1) * cap]
+                m = seg.shape[0]
+                dst = ops[b, k, 1:1 + m]
+                dst[:] = seg
+                # chunk-local coefficient rows: gather the rows this
+                # chunk's ops reference; each row has exactly one
+                # referencing op, in decode order
+                typ = dst[:, 0] & 3
+                used = ((typ == OP_RESID)
+                        | ((typ == OP_INTRA) & ((dst[:, 0] >> 10) & 1 == 1)))
+                refs = dst[used, 3]
+                dst[:, 3] = 0
+                dst[used, 3] = np.arange(refs.shape[0], dtype=np.int32)
+                if refs.shape[0]:
+                    coefs[b, k, :refs.shape[0]] = p["coefs"][refs]
+                    sizes[b, k, :refs.shape[0]] = p["sizes"][refs]
+                ops[b, k, 0] = (m, f,
+                                1 if c == 0 else 0,
+                                1 if c == nchunks - 1 else 0)
+                k += 1
     return ops, coefs, sizes
 
 
@@ -749,24 +741,28 @@ def _pack_gop_blob_sparse(ops, coefs, sizes):
     """
     B = sizes.shape[0]
     rows = coefs.reshape(B, -1, 64).shape[1]
-    per_idx = [np.flatnonzero(coefs[b].reshape(-1)) for b in range(B)]
-    nnz_max = max(max((int(i.size) for i in per_idx), default=0), 2)
-    if nnz_max > NNZ_PS_BUCKETS[-1] or rows * 64 > (1 << 31) - 1:
+    if rows * 64 > (1 << 31) - 1:
         return None
-    flat = coefs.reshape(-1)
-    if flat.size:
-        nz = flat[np.flatnonzero(flat)]
-        if nz.size and (int(nz.min()) < -32768 or int(nz.max()) > 32767):
+    per = []
+    for b in range(B):
+        fb = coefs[b].reshape(-1)
+        idx = np.flatnonzero(fb)
+        val = fb[idx]
+        if val.size and (int(val.min()) < -32768 or int(val.max()) > 32767):
             return None
+        per.append((idx, val))
+    nnz_max = max(max((int(i.size) for i, _ in per), default=0), 2)
+    if nnz_max > NNZ_PS_BUCKETS[-1]:
+        return None
     ops3 = _pack_ops3(ops)
     if ops3 is None:
         return None
     nnzb = _bucket(nnz_max, NNZ_PS_BUCKETS)
     idx_a = np.full((B, nnzb), rows * 64, np.int32)
     val_a = np.zeros((B, nnzb), np.int16)
-    for b, idx in enumerate(per_idx):
+    for b, (idx, val) in enumerate(per):
         idx_a[b, :idx.size] = idx
-        val_a[b, :idx.size] = coefs[b].reshape(-1)[idx].astype(np.int16)
+        val_a[b, :idx.size] = val.astype(np.int16)
     nsb = (B * rows + 31) // 32
     sbits = np.zeros(nsb * 32, np.uint32)
     sbits[:B * rows] = (sizes.reshape(-1) == 4)
@@ -909,20 +905,24 @@ def _pack_ops3(ops: np.ndarray):
     (count < 2^26, frame < 4096, last < 2^14) so they round-trip too.
     w2 (MV pair / plane gradient) keeps its full 32 bits.
     """
-    o = ops.astype(np.int64) & 0xFFFFFFFF
-    w0, w1, w3 = o[..., 0], o[..., 1], o[..., 3]
-    rr = w1 & 0xFFFF
-    cc = (w1 >> 16) & 0xFFFF
+    u = np.ascontiguousarray(ops).view(np.uint32)
+    w0, w1, w3 = u[..., 0], u[..., 1], u[..., 3]
+    rr = w1 & np.uint32(0xFFFF)
+    cc = w1 >> np.uint32(16)
+    # negative fields view as huge unsigned values, so the max-checks also
+    # reject them
     if int(w0.max(initial=0)) >= 1 << 26:
         return None
     if int(rr.max(initial=0)) >= 1 << 12 or int(cc.max(initial=0)) >= 1 << 12:
         return None
     if int(w3.max(initial=0)) >= 1 << 14:
         return None
-    a = w0 | (w3 >> 8) << 26
-    b = rr | cc << 12 | (w3 & 0xFF) << 24
-    packed = np.stack([a, b, o[..., 2]], axis=-1) & 0xFFFFFFFF
-    return np.ascontiguousarray(packed.astype(np.uint32)).view(np.int32)
+    packed = np.empty(ops.shape[:-1] + (3,), np.uint32)
+    packed[..., 0] = w0 | (w3 >> np.uint32(8)) << np.uint32(26)
+    packed[..., 1] = (rr | cc << np.uint32(12)
+                      | (w3 & np.uint32(0xFF)) << np.uint32(24))
+    packed[..., 2] = u[..., 2]
+    return packed.view(np.int32)
 
 
 def _unpack_ops3(p3):
