@@ -160,6 +160,30 @@ def main() -> int:
         got += arr.shape[0] * arr.shape[1]
     e2e_sustained = got / (time.perf_counter() - t0)
 
+    # Wii-size MOC5 secondary metric (the reference's only negative perf
+    # statement: "not full speed" on a PC, README.md:8).  Fused engine in
+    # HBM-ring mode; small workload so it stays cheap in this bench.
+    fps_wii = None
+    try:
+        WB, WF = 2, 8
+        wsyn = [StreamSynthesizer(640, 480, MobiclipVersion.MOFLEX_3DS,
+                                  seed=b) for b in range(WB)]
+        wframes = [[s.iframe(0x18) if f == 0 else s.pframe() for s in wsyn]
+                   for f in range(WF)]
+        bdw = VmemBatchDecoder(640, 480, MobiclipVersion.MOFLEX_3DS,
+                               batch=WB)
+        wplans = [bdw._scan_all(fp) for fp in wframes]
+        _t, wyuv = bdw._dispatch_plans(wplans)      # warm/compile
+        jax.block_until_ready(wyuv)
+
+        def wii_step():
+            _t, wyuv = bdw._dispatch_plans(wplans)
+            return wyuv
+
+        fps_wii = round(best_window(wii_step, WB * WF, reps=2, windows=2), 2)
+    except Exception:
+        pass
+
     baseline_fps = 24.0  # realtime DS playback, single-threaded C# reference
     print(json.dumps({
         "metric": "mods_256x192_device_decode_fps_per_chip",
@@ -174,6 +198,7 @@ def main() -> int:
         "host_scan_fps": round(B * F / t_scan, 2),
         "e2e_fps": round(e2e, 2),
         "e2e_sustained_fps": round(e2e_sustained, 2),
+        "wii_640x480_fps": fps_wii,
         "compile_s": round(t_compile + t_compile_f, 1),
         "device": str(jax.devices()[0]),
     }))

@@ -360,6 +360,15 @@ class MoflexDemuxer:
             return 0x100, pos + csize
         parsers = {1: (VideoStream, 12), 2: (AudioStream, 6),
                    3: (VideoStreamWithLayout, 13), 4: (TimelineStream, 2)}
+        if ctype == 0x100000:
+            # MoLiveChunkFoo: the reference recognizes it (expected size
+            # 20) but its Read throws NotImplementedException
+            # (MoLiveChunkFoo.cs:13-16) — stub parity.
+            if csize != 20:
+                return 0x45, pos
+            raise NotImplementedError(
+                "Moflex 'foo' chunk (0x100000): unimplemented in the "
+                "reference (MoLiveChunkFoo.cs)")
         if ctype not in parsers:
             return 0x44, pos
         cls, expect = parsers[ctype]

@@ -109,6 +109,61 @@ def test_sparse_blob_roundtrip_exact():
     assert _pack_blob_sparse(ops, big, sizes) is None
 
 
+def test_ops3_pack_roundtrip_and_bounds():
+    """The 3-word packed op upload must round-trip exactly and reject rows
+    whose fields exceed the packed widths (w0 26 bits, rr/cc 12, w3 14)."""
+    import jax.numpy as jnp
+    from mobiclipdecoder_tpu.ops.vmem_engine import _pack_ops3, _unpack_ops3
+
+    rng = np.random.default_rng(0)
+    n = 512
+    ops = np.zeros((n, 4), np.int32)
+    ops[:, 0] = rng.integers(0, 1 << 26, n)
+    rr = rng.integers(0, 1 << 12, n)
+    cc = rng.integers(0, 1 << 12, n)
+    ops[:, 1] = rr | (cc << 16)
+    ops[:, 2] = rng.integers(-(1 << 31), 1 << 31, n, dtype=np.int64)
+    ops[:, 3] = rng.integers(0, 1 << 14, n)
+    p3 = _pack_ops3(ops)
+    assert p3 is not None and p3.shape == (n, 3)
+    back = np.asarray(_unpack_ops3(jnp.asarray(p3)))
+    np.testing.assert_array_equal(back, ops)
+
+    for col, bad in ((0, 1 << 26), (1, 4096), (1, 4096 << 16), (3, 1 << 14),
+                     (3, -1)):
+        o2 = ops.copy()
+        o2[5, col] = bad
+        assert _pack_ops3(o2) is None, (col, bad)
+
+
+def test_gop_blob_sparse_dense_fallback():
+    """w3 overflow or >int16 coefficient levels must push the fused GOP
+    pack to the dense fallback (return None) rather than corrupt."""
+    from mobiclipdecoder_tpu.ops.vmem_engine import (CHUNK,
+                                                     _pack_gop_blob_sparse,
+                                                     _pack_gop_chunks)
+
+    W, H, B = 64, 48, 2
+    v = MobiclipVersion.MODS_DS
+    synths = [StreamSynthesizer(W, H, v, seed=s) for s in (31, 32)]
+    bd = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    frames = [[s.iframe(0x18) if f == 0 else s.pframe() for s in synths]
+              for f in range(3)]
+    plans_fb = [bd._scan_all(fp) for fp in frames]
+    ops, coefs, sizes = _pack_gop_chunks(plans_fb, B)
+    nct = ops.shape[1]
+    sp = _pack_gop_blob_sparse(ops, coefs, sizes.reshape(B, nct * CHUNK))
+    assert sp is not None
+    big = coefs.copy()
+    big[0, 0, 0, 0] = 0x10000
+    assert _pack_gop_blob_sparse(ops, big,
+                                 sizes.reshape(B, nct * CHUNK)) is None
+    badops = ops.copy()
+    badops[0, 0, 1, 3] = 1 << 14
+    assert _pack_gop_blob_sparse(badops, coefs,
+                                 sizes.reshape(B, nct * CHUNK)) is None
+
+
 def test_vmem_sharded_round_matches_unsharded():
     """The shard_map'd VMEM round over an 8-device CPU mesh must equal the
     single-device round exactly (streams are independent)."""
