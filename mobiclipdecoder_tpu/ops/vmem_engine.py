@@ -50,6 +50,12 @@ MCOL = 8     # left margin lanes
 # op stream is fed in 256-row chunks via a second grid dimension; each chunk
 # carries its own header row with its op count.
 CHUNK = 256
+# Per-round op-count ladder.  Each step is a distinct kernel grid => a fresh
+# multi-minute Mosaic compile through the tunnel on first use (then cached
+# persistently) — keep the ladder short.  Steps were sized on the synth
+# workload: P-frames ~600 ops fit 768; I-frames ~1900 fit 2048 (the r2
+# 2048/4096 split replaced a 3072 middle step so typical I-frames stop
+# padding 50%).
 NOPS_BUCKETS = (768, 2048, 4096, 12288)
 NR_BUCKETS = (256, 1024, 4096, 12288)
 
