@@ -732,6 +732,63 @@ def _decode_gop_fused(ring, ops, coefs, sizes, F: int, H: int, S: int,
     return ring2, yuv.astype(jnp.uint8)
 
 
+def _gop_part(r: dict) -> dict:
+    """Normalize a NativePlanner.scan_gop_packed result into a sliceable
+    'part': a frame range over the scan's packed chunk stream.  Parts are
+    cheap views into the scan buffers; slicing at frame boundaries (see
+    _split_gop_part) re-bases frame ids and coefficient indices at assembly
+    time, so oversized GOPs split WITHOUT rescanning."""
+    return dict(ops3=r["ops3"], szw=r["szw"],
+                idx=r["idx"][:r["nnz"]], val=r["val"][:r["nnz"]],
+                fnct=r["frame_nct"], fnnz=r["frame_nnz"],
+                c0=0, c1=r["nct"], fbase=0)
+
+
+def _split_gop_part(q: dict, f0: int, f1: int) -> dict:
+    """Sub-part covering the part's local frames [f0, f1)."""
+    cn = np.concatenate([[0], np.cumsum(q["fnct"])]).astype(np.int64)
+    zn = np.concatenate([[0], np.cumsum(q["fnnz"])]).astype(np.int64)
+    return dict(ops3=q["ops3"], szw=q["szw"],
+                idx=q["idx"][zn[f0]:zn[f1]], val=q["val"][zn[f0]:zn[f1]],
+                fnct=q["fnct"][f0:f1], fnnz=q["fnnz"][f0:f1],
+                c0=q["c0"] + int(cn[f0]), c1=q["c0"] + int(cn[f1]),
+                fbase=q["fbase"] + f0)
+
+
+def _assemble_gop_parts(parts: list[dict]) -> tuple:
+    """Assemble B per-stream parts into the _decode_gop_fused_sblob blob
+    (identical layout to _pack_gop_chunks + _pack_gop_blob_sparse, which
+    these parts replace on the native hot path).  Caller guarantees every
+    part fits the bucket ladders.  Returns (blob, nct, nnzb)."""
+    B = len(parts)
+    nct = _bucket(max(q["c1"] - q["c0"] for q in parts), NCT_BUCKETS)
+    nnzb = _bucket(max(max(q["idx"].size for q in parts), 2),
+                   NNZ_PS_BUCKETS)
+    rows = nct * CHUNK
+    spc = CHUNK // 32                      # size-bit words per chunk
+    ops3 = np.zeros((B, nct, CHUNK, 3), np.int32)
+    swords = np.zeros((B, nct * spc), np.int32)
+    idx = np.full((B, nnzb), rows * 64, np.int32)
+    val = np.zeros((B, nnzb), np.int16)
+    for b, q in enumerate(parts):
+        c0, c1 = q["c0"], q["c1"]
+        n = c1 - c0
+        ops3[b, :n] = q["ops3"][c0:c1]
+        if q["fbase"]:
+            # chunk header word B carries the frame id in its low 12 bits
+            ops3[b, :n, 0, 1] -= q["fbase"]
+        swords[b, :n * spc] = q["szw"][c0 * spc:c1 * spc]
+        k = q["idx"].size
+        idx[b, :k] = q["idx"]
+        if c0:
+            idx[b, :k] -= c0 * CHUNK * 64
+        val[b, :k] = q["val"]
+    val_words = val.reshape(-1).astype('<i2').view('<i4').astype(np.int32)
+    blob = np.concatenate([ops3.reshape(-1), swords.reshape(-1),
+                           idx.reshape(-1), val_words])
+    return blob, nct, nnzb
+
+
 def _pack_gop_blob_sparse(ops, coefs, sizes):
     """Host-side sparse pack for the fused whole-GOP path, or None when
     the round must take the dense fallback.
@@ -1253,10 +1310,72 @@ class VmemBatchDecoder:
     def _dispatch_gop_fused(self, frames: list[list[bytes]]):
         """Scan + pack + dispatch one GOP through the fused single-launch
         path; returns (scan_end_time, device yuv array) WITHOUT blocking on
-        the result (dispatch is async)."""
+        the result (dispatch is async).
+
+        Hot path: the C++ scanner emits the packed upload blob directly
+        (scanner_scan_gop) — one native call per stream covering the whole
+        GOP, no Python pack loops.  Falls back to the per-frame plan path
+        when native scanning is unavailable or the GOP doesn't fit the
+        native format (the C++ state is rewound first, so the re-scan is
+        bit-identical)."""
+        if self.natives is not None:
+            out = self._dispatch_gop_native(frames)
+            if out is not None:
+                return out
         with jax.profiler.TraceAnnotation("mobiclip.scan"):
             plans_fb = [self._scan_all(fp) for fp in frames]
         return self._dispatch_plans(plans_fb)
+
+    def _dispatch_gop_native(self, frames: list[list[bytes]]):
+        """Whole-GOP native scan+pack+dispatch, or None to fall back (with
+        all stream states rewound to the GOP start)."""
+        F = len(frames)
+        if F == 0 or F >= 4096:
+            return None
+        per = [[frames[f][b] for f in range(F)] for b in range(self.B)]
+        with jax.profiler.TraceAnnotation("mobiclip.scan"):
+            for nv in self.natives:
+                nv.checkpoint()
+            if self.B > 1:
+                res = list(self._pool.map(
+                    lambda b: self.natives[b].scan_gop_packed(per[b]),
+                    range(self.B)))
+            else:
+                res = [self.natives[0].scan_gop_packed(per[0])]
+        if any(r["err"] or r["val_overflow"] or r["done"] != F
+               for r in res):
+            # malformed frame, >int16 coefficient, or a stream outgrew the
+            # scan buffers: rewind every stream and let the plan path (which
+            # has no such limits and raises at the right frame) redo the GOP
+            for nv in self.natives:
+                nv.rollback()
+            return None
+        return self._dispatch_parts([_gop_part(r) for r in res])
+
+    def _dispatch_parts(self, parts: list[dict]):
+        """Dispatch per-stream GOP parts, splitting at frame boundaries
+        while any stream exceeds the chunk/nnz bucket ladders (mirrors
+        _dispatch_plans' split; the ring carries across dispatches)."""
+        import time
+        F = len(parts[0]["fnct"])
+        if (max(q["c1"] - q["c0"] for q in parts) > NCT_BUCKETS[-1]
+                or max(q["idx"].size for q in parts) > NNZ_PS_BUCKETS[-1]):
+            if F <= 1:
+                raise ValueError(
+                    "single frame exceeds fused-GOP dispatch buckets")
+            mid = F // 2
+            _ta, ya = self._dispatch_parts(
+                [_split_gop_part(q, 0, mid) for q in parts])
+            tb, yb = self._dispatch_parts(
+                [_split_gop_part(q, mid, F) for q in parts])
+            return tb, jnp.concatenate([ya, yb], axis=0)
+        with jax.profiler.TraceAnnotation("mobiclip.pack"):
+            blob, nct, nnzb = _assemble_gop_parts(parts)
+        t1 = time.perf_counter()
+        self.ring, yuv = _decode_gop_fused_sblob(
+            self.ring, blob, F, nct, nnzb,
+            self.height, self.stride, self.interpret)
+        return t1, yuv
 
     def _dispatch_plans(self, plans_fb: list[list[dict]]):
         """Pack pre-scanned per-frame plans and dispatch the fused GOP.
@@ -1418,30 +1537,69 @@ class VmemVideoDecoder(VmemBatchDecoder):
         failed (its frame is NOT decoded — per-frame containment is the
         caller's job, matching the reference player's swallow policy), or
         None when the whole chunk scanned.
+
+        Hot path: ONE native scanner_scan_gop call covers the whole chunk
+        (per-frame consumed offsets come back from C++); malformed frames
+        keep the prefix and report err at the C++ frame boundary.
         """
         import time
         t0 = time.perf_counter()
-        plans_fb: list[list[dict]] = []
+        yuvs: list[np.ndarray] = []
         offsets: list[int] = []
         err = None
-        for i, pkt in enumerate(packets):
-            try:
-                plans_fb.append([self._scan_one(0, pkt)])
-                offsets.append(self.offset)
-            except Exception:
-                err = i
+        t_scan = 0.0
+        rem = list(packets)
+        ndone = 0
+        nv = self.natives[0] if self.natives is not None else None
+        while rem and nv is not None:
+            ts = time.perf_counter()
+            nv.checkpoint()
+            r = nv.scan_gop_packed(rem)
+            t_scan += time.perf_counter() - ts
+            if r["val_overflow"]:
+                # >int16 coefficient somewhere: rewind and take the dense
+                # per-packet path for the remainder
+                nv.rollback()
                 break
-        if not plans_fb:
-            return (np.zeros((0, self.height + self.height // 2,
-                              self.stride), np.uint8), [], err)
-        t1, yuv = self._dispatch_plans(plans_fb)
-        out = np.asarray(yuv)[:, 0]
+            done = r["done"]
+            offsets.extend(int(c) for c in r["consumed"])
+            if done:
+                _t1, yuv = self._dispatch_parts([_gop_part(r)])
+                yuvs.append(np.asarray(yuv)[:, 0])
+                ndone += done
+                rem = rem[done:]
+            if r["err"]:
+                err = ndone
+                rem = []
+                break
+            if done == 0:
+                raise ValueError("frame exceeds native GOP scan caps")
+        if rem and err is None:
+            # native scanner unavailable (or val_overflow): per-packet
+            # scan + plan dispatch, dense coefficient rows
+            plans_fb: list[list[dict]] = []
+            ts = time.perf_counter()
+            for i, pkt in enumerate(rem):
+                try:
+                    plans_fb.append([self._scan_one(0, pkt)])
+                    offsets.append(self.offset)
+                except Exception:
+                    err = ndone + i
+                    break
+            t_scan += time.perf_counter() - ts
+            if plans_fb:
+                _t1, yuv = self._dispatch_plans(plans_fb)
+                yuvs.append(np.asarray(yuv)[:, 0])
+                ndone += len(plans_fb)
+        out = (np.concatenate(yuvs, axis=0) if yuvs else
+               np.zeros((0, self.height + self.height // 2, self.stride),
+                        np.uint8))
         t2 = time.perf_counter()
         m = self.metrics
-        m.frames += len(plans_fb)
-        m.bytes_in += sum(len(p) for p in packets[:len(plans_fb)])
-        m.scan_seconds += t1 - t0
-        m.device_seconds += t2 - t1
+        m.frames += ndone
+        m.bytes_in += sum(len(p) for p in packets[:ndone])
+        m.scan_seconds += t_scan
+        m.device_seconds += (t2 - t0) - t_scan
         m.wall_seconds += t2 - t0
         return out, offsets, err
 

@@ -59,7 +59,7 @@ def _load():
     if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
         _SO.parent.mkdir(parents=True, exist_ok=True)
         subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
              str(_SRC), "-o", str(_SO)],
             check=True, capture_output=True)
     lib = ctypes.CDLL(str(_SO))
@@ -80,6 +80,15 @@ def _load():
         ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p]
+    lib.scanner_checkpoint.argtypes = [ctypes.c_void_p]
+    lib.scanner_rollback.argtypes = [ctypes.c_void_p]
+    lib.scanner_scan_gop.restype = ctypes.c_int
+    lib.scanner_scan_gop.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -147,6 +156,73 @@ class NativePlanner:
         k = max(k, 1)
         return dict(ops=ops, coefs=ucoef[:k].copy(),
                     sizes=usize[:k].copy())
+
+    def checkpoint(self) -> None:
+        """Snapshot the cross-frame decoder state inside the C++ context
+        (see rollback)."""
+        self._lib.scanner_checkpoint(self._ctx)
+
+    def rollback(self) -> None:
+        """Rewind to the last checkpoint() — undoes any scans since, so the
+        same packets can be re-scanned through a different path."""
+        self._lib.scanner_rollback(self._ctx)
+
+    # Whole-GOP packed scan caps (one call's output buffers).  GOP_NCT_CAP
+    # is deliberately larger than the dispatch bucket ladder's top —
+    # oversized GOPs are split at frame boundaries AFTER scanning (the
+    # per-frame counts make that a pure slicing operation), never rescanned.
+    GOP_NCT_CAP = 4096          # 256-row op chunks  (12 MiB buffer)
+    GOP_NNZ_CAP = 1 << 20       # sparse coefficient entries (6 MiB)
+
+    def scan_gop_packed(self, packets: list[bytes]) -> dict:
+        """Scan consecutive frame packets of ONE stream into the fused-GOP
+        sparse upload layout (ops/vmem_engine.py _pack_gop_chunks +
+        _pack_gop_blob_sparse equivalents), entirely in C++.
+
+        Returns a dict with:
+          ops3  (nct, 256, 3) int32   packed op chunks (prefix [:nct] valid)
+          szw   (nct*8,) int32        size==4 bitmask words
+          idx   (nnz,) int32          ascending flat coef indices
+          val   (nnz,) int16          coef values
+          frame_nct / frame_nnz (done,) int32   per-frame footprints
+          consumed (done,) int32      per-frame bitstream end offsets
+          done  int                   frames scanned
+          err   bool                  frame ``done`` was malformed
+          val_overflow bool           a |coef| > int16 was clipped (caller
+                                      must fall back to a dense path)
+        done < len(packets) with err=False means an output cap was hit;
+        call again with packets[done:] (state rewound to the frame edge).
+        """
+        n = len(packets)
+        if n >= 4096:
+            raise ValueError("GOP too long for 12-bit frame ids")
+        data = b"".join(packets)
+        offs = np.zeros(n + 1, np.int32)
+        offs[1:] = np.cumsum([len(pk) for pk in packets])
+        ops3 = np.empty((self.GOP_NCT_CAP, 256, 3), np.int32)
+        szw = np.empty(self.GOP_NCT_CAP * 8, np.int32)
+        idx = np.empty(self.GOP_NNZ_CAP, np.int32)
+        val = np.empty(self.GOP_NNZ_CAP, np.int16)
+        consumed = np.zeros(n, np.int32)
+        frame_nct = np.zeros(n, np.int32)
+        frame_nnz = np.zeros(n, np.int32)
+        meta = np.zeros(5, np.int32)
+
+        def p(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        self._lib.scanner_scan_gop(
+            self._ctx, data, p(offs), n,
+            p(ops3), self.GOP_NCT_CAP,
+            p(idx), p(val), self.GOP_NNZ_CAP,
+            p(szw), p(consumed), p(frame_nct), p(frame_nnz), p(meta))
+        nct, nnz, done, err, vov = (int(meta[k]) for k in range(5))
+        if done:
+            self.offset = int(consumed[done - 1])
+        return dict(ops3=ops3, nct=nct, szw=szw, idx=idx, val=val, nnz=nnz,
+                    frame_nct=frame_nct[:done], frame_nnz=frame_nnz[:done],
+                    consumed=consumed[:done], done=done, err=bool(err),
+                    val_overflow=bool(vov))
 
     def scan(self, packet: bytes) -> FramePlan:
         H, S = self.height, self.stride

@@ -29,6 +29,8 @@ struct Tables {
   std::vector<int32_t> pb_mode[16][2], pb_bits[16][2];
 };
 
+static const int kChunk = 256;  // op-chunk rows (ops/vmem_engine.py CHUNK)
+
 // block-size order shared with utils/native.py
 static const int kSizes[16][2] = {
     {16, 16}, {8, 16}, {4, 16}, {2, 16}, {16, 8}, {16, 4}, {16, 2}, {8, 8},
@@ -59,7 +61,24 @@ struct PlanSink {
   int32_t *ucoef = nullptr; int32_t *usize = nullptr;
   int ucoef_cap = 0, ucoef_n = 0;
   bool unified_only = false;  // skip FramePlan arrays + level bookkeeping
-  bool overflow = false;
+  bool overflow = false;      // output-capacity overflow (retryable split)
+  bool bad = false;           // malformed bitstream (reference throws)
+
+  // GOP packed-chunk emission (scanner_scan_gop): ops go straight into the
+  // fused-GOP upload layout of ops/vmem_engine.py — 3-word packed rows
+  // (_pack_ops3) in (nct, kChunk, 3) chunks with [count, frame, first,
+  // last] header rows, chunk-local coefficient row indices, coefficients
+  // as ascending sparse (flat idx, int16 value) pairs plus a size==4
+  // bitmask.  This skips the Python-side _pack_gop_chunks /
+  // _pack_gop_blob_sparse entirely (the round-2 host Amdahl wall).
+  int32_t *g_ops3 = nullptr; int g_nct_cap = 0, g_nct = 0;
+  int g_row = 0, g_crow = 0, g_first = 0, g_frame = 0;
+  int32_t *g_idx = nullptr; int16_t *g_val = nullptr;
+  int g_nnz_cap = 0, g_nnz = 0;
+  uint32_t *g_szbits = nullptr;
+  bool g_val_overflow = false;      // some |coef| > int16 (val entry clipped)
+  const int32_t *g_pend = nullptr;  // coef row deferred to its op's chunk
+  int g_pend_size = 0;
 };
 
 struct Scanner {
@@ -75,6 +94,28 @@ struct Scanner {
   uint32_t r3; int nb;
 
   PlanSink *sink = nullptr;
+
+  // decoder-persistent state snapshot (per-frame rollback when a GOP scan
+  // hits an output-capacity limit mid-frame; the caller re-scans the frame
+  // into fresh buffers, so cross-frame state must rewind exactly)
+  struct State {
+    uint32_t quantizer, yuv_format;
+    uint32_t internal[392];
+    uint8_t imode[40];
+  };
+  void save(State &st) const {
+    st.quantizer = quantizer;
+    st.yuv_format = yuv_format;
+    memcpy(st.internal, internal, sizeof(internal));
+    memcpy(st.imode, imode, sizeof(imode));
+  }
+  void restore(const State &st) {
+    quantizer = st.quantizer;
+    yuv_format = st.yuv_format;
+    memcpy(internal, st.internal, sizeof(internal));
+    memcpy(imode, st.imode, sizeof(imode));
+  }
+  State ckpt;  // caller-visible checkpoint (scanner_checkpoint/rollback)
 
   // ---------------------------------------------------------------- bits
   void fill() {  // FillBits (:2988)
@@ -122,7 +163,7 @@ struct Scanner {
   void setup_quant(uint32_t q) {  // SetupQuantizationTables (:3884)
     if (version == 2) { if (q < 0xC) q = 0xC; if (q > 0x34) q = 0x34; }
     quantizer = q;
-    if (q >= 54) { sink->overflow = true; q = 53; }
+    if (q >= 54) { sink->bad = true; q = 53; }
     int sh4 = t.qp_div6[q] + 8;
     int mod = t.qp_mod6[q];
     for (int i = 0; i < 16; i++)
@@ -155,6 +196,11 @@ struct Scanner {
     return size == 2 ? 1 : size == 4 ? 2 : size == 8 ? 3 : 4;
   }
   int u_coef_row(const int32_t *dense, int size) {
+    if (sink->g_ops3) {  // GOP mode: defer to the op row's chunk (g_emit)
+      sink->g_pend = dense;
+      sink->g_pend_size = size;
+      return 0;
+    }
     if (sink->ucoef_n >= sink->ucoef_cap) { sink->overflow = true; return 0; }
     int k = sink->ucoef_n++;
     int32_t *c = sink->ucoef + 64 * k;
@@ -164,9 +210,74 @@ struct Scanner {
     return k;
   }
   void u_row(int32_t w0, int32_t w1, int32_t w2, int32_t w3) {
+    if (sink->g_ops3) {
+      (void)w3;  // chunk-local coef index is assigned by g_emit
+      g_emit(w0, w1 & 0xFFFF, w1 >> 16, w2);
+      return;
+    }
     if (sink->uops_n >= sink->uops_cap) { sink->overflow = true; return; }
     int32_t *r = sink->uops + 4 * (sink->uops_n++);
     r[0] = w0; r[1] = w1; r[2] = w2; r[3] = w3;
+  }
+
+  // ---------------------------------------- GOP packed-chunk emission
+  // 3-word packed row layout (= ops/vmem_engine.py _pack_ops3 with the
+  // chunk-local w3 < 256): A = w0; B = rr | cc<<12 | w3<<24; C = w2.
+  // Bounds hold structurally here: w0 uses bits 0..25 (type/ref/w/h or
+  // mode bits), rr = 8+y(+H) < 4096 and cc = 8+x < 4096 for every stride
+  // policy (<=1024+margins), and header rows are [count<2^26, frame<4096,
+  // first, last<256].
+  void g_open_chunk(int first) {
+    PlanSink *k = sink;
+    if (k->g_nct >= k->g_nct_cap) { k->overflow = true; return; }
+    memset(k->g_ops3 + size_t(k->g_nct) * kChunk * 3, 0, kChunk * 3 * 4);
+    memset(k->g_szbits + size_t(k->g_nct) * (kChunk / 32), 0,
+           (kChunk / 32) * 4);
+    k->g_first = first;
+    k->g_row = 1;
+    k->g_crow = 0;
+    k->g_nct++;
+  }
+  void g_close_chunk(int last) {
+    PlanSink *k = sink;
+    int32_t *c = k->g_ops3 + size_t(k->g_nct - 1) * kChunk * 3;
+    c[0] = k->g_row - 1;                 // A: w0 = count (w3 = last < 256)
+    c[1] = k->g_frame | (last << 24);    // B: rr = frame, cc = 0
+    c[2] = k->g_first;                   // C: w2 = first flag
+  }
+  void g_emit(int32_t w0, int32_t rr, int32_t cc, int32_t w2) {
+    PlanSink *k = sink;
+    if (k->g_row == kChunk) {            // chunk full: roll to the next
+      g_close_chunk(0);
+      g_open_chunk(0);
+      if (k->overflow) return;
+    }
+    int32_t w3 = 0;
+    if (k->g_pend) {
+      w3 = k->g_crow;
+      int row = (k->g_nct - 1) * kChunk + k->g_crow;
+      int32_t base = row * 64;
+      int n = k->g_pend_size * k->g_pend_size;
+      for (int p = 0; p < n; p++) {       // ascending == np.flatnonzero
+        int32_t v = k->g_pend[p];
+        if (!v) continue;
+        if (k->g_nnz >= k->g_nnz_cap) { k->overflow = true; return; }
+        if (v < -32768 || v > 32767) k->g_val_overflow = true;
+        k->g_idx[k->g_nnz] = base + p;
+        k->g_val[k->g_nnz] = int16_t(v);
+        k->g_nnz++;
+      }
+      if (k->g_pend_size == 4)
+        k->g_szbits[row >> 5] |= uint32_t(1) << (row & 31);
+      k->g_crow++;
+      k->g_pend = nullptr;
+    }
+    int32_t *r = k->g_ops3
+        + (size_t(k->g_nct - 1) * kChunk + size_t(k->g_row)) * 3;
+    r[0] = w0;
+    r[1] = rr | (cc << 12) | (w3 << 24);
+    r[2] = w2;
+    k->g_row++;
   }
   void u_mc(int y, int x, int w, int h, int ref, int dx, int dy) {
     u_row(1 | (ref << 13) | (w << 16) | (h << 21),
@@ -197,7 +308,7 @@ struct Scanner {
   void record_mc(int w, int h, int ref, int dx, int dy, int off) {
     int S = stride;
     int y = off / S, x = off % S;
-    if (sink->uops) {
+    if (sink->uops || sink->g_ops3) {
       u_mc(y, x, w, h, ref, dx, dy);
       if (sink->unified_only) { sink->seq++; return; }
     }
@@ -218,7 +329,7 @@ struct Scanner {
   void record_resid(int pid, int off, int size, const int32_t *dense) {
     int S = stride;
     int y = off / S, x = off % S;
-    if (sink->uops) {
+    if (sink->uops || sink->g_ops3) {
       u_resid(pid, y, x, size, dense);
       if (sink->unified_only) { sink->seq++; return; }
     }
@@ -239,7 +350,7 @@ struct Scanner {
                     int has_coef, const int32_t *dense) {
     int S = stride, cols = S / 4;
     int y = off / S, x = off % S;
-    if (sink->uops) {
+    if (sink->uops || sink->g_ops3) {
       u_intra(pid, y, x, size, mode, grad, has_coef, dense);
       if (sink->unified_only) { sink->seq++; return; }
     }
@@ -352,7 +463,7 @@ struct Scanner {
         nb -= nbits; if (nb < 0) fill();
       }
       r12 += skip;
-      if (r12 < 0 || r12 >= 392) { sink->overflow = true; return r12; }
+      if (r12 < 0 || r12 >= 392) { sink->bad = true; return r12; }
       uint32_t packed = internal[r12++];
       int pos = packed & 0xFF;
       int32_t scale = int32_t(packed >> 8);
@@ -403,7 +514,7 @@ struct Scanner {
       record_intra(pid, off, 8, mode, g, 1, dense);
     } else {
       uint32_t ci = varint_u();
-      if (ci >= t.cbp_split8.size()) { sink->overflow = true; return; }
+      if (ci >= t.cbp_split8.size()) { sink->bad = true; return; }
       int cbp = t.cbp_split8[ci];
       static const int dr5s[4] = {0, 1, 8, 9};
       const int doffs[4] = {0, 4, S * 4, S * 4 + 4};
@@ -433,7 +544,7 @@ struct Scanner {
     } else {
       int mode4 = mode + 0xA;
       uint32_t ci = varint_u();
-      if (ci >= t.cbp_split8.size()) { sink->overflow = true; return; }
+      if (ci >= t.cbp_split8.size()) { sink->bad = true; return; }
       int cbp = t.cbp_split8[ci];
       const int doffs[4] = {0, 4, S * 4, S * 4 + 4};
       for (int b = 0; b < 4; b++) {
@@ -465,7 +576,7 @@ struct Scanner {
   void dec_intra_full_mb(int off) {  // DecIntraFullBlockPMode (:1759)
     int S = stride;
     uint32_t ci = varint_u();
-    if (ci >= t.cbp_intra.size()) { sink->overflow = true; return; }
+    if (ci >= t.cbp_intra.size()) { sink->bad = true; return; }
     int cbp = t.cbp_intra[ci];
     uint32_t mode = r3 >> 29;
     adv(3);
@@ -484,7 +595,7 @@ struct Scanner {
   void dec_intra_sub_mb(int off) {  // DecIntraSubBlockPMode (:1789)
     int S = stride;
     uint32_t ci = varint_u();
-    if (ci >= t.cbp_intra.size()) { sink->overflow = true; return; }
+    if (ci >= t.cbp_intra.size()) { sink->bad = true; return; }
     int cbp = t.cbp_intra[ci];
     static const int r5s[4] = {9, 0xB, 0x19, 0x1B};
     const int doffs[4] = {0, 8, S * 8, S * 8 + 8};
@@ -506,7 +617,7 @@ struct Scanner {
       record_resid(pid, off, 8, dense);
     } else {
       uint32_t ci = varint_u();
-      if (ci >= t.cbp_sub4.size()) { sink->overflow = true; return; }
+      if (ci >= t.cbp_sub4.size()) { sink->bad = true; return; }
       int cbp = t.cbp_sub4[ci];
       const int doffs[4] = {0, 4, S * 4, S * 4 + 4};
       for (int b = 0; b < 4; b++)
@@ -520,7 +631,7 @@ struct Scanner {
   void residual_mb(int off) {  // loc_1161A0 (:1818)
     int S = stride;
     uint32_t ci = varint_u();
-    if (ci >= t.cbp_inter.size()) { sink->overflow = true; return; }
+    if (ci >= t.cbp_inter.size()) { sink->bad = true; return; }
     int cbp = t.cbp_inter[ci];
     const int doffs[4] = {0, 8, S * 8, S * 8 + 8};
     for (int b = 0; b < 4; b++)
@@ -575,9 +686,9 @@ struct Scanner {
           ok = true;
           break;
         }
-      if (!ok) { sink->overflow = true; return; }
+      if (!ok) { sink->bad = true; return; }
     } else {
-      sink->overflow = true;  // illegal mode (reference throws)
+      sink->bad = true;  // illegal mode (reference throws)
       return;
     }
     if (w == 16 && h == 16 && mode != 6 && mode != 7) residual_mb(off);
@@ -735,7 +846,7 @@ int scanner_scan(void *ctx, const uint8_t *pkt, int pkt_len,
   out_meta[1] = sink.resid_n;
   out_meta[2] = sink.intra_n;
   out_meta[3] = sink.n_levels;
-  out_meta[4] = sink.overflow ? 1 : 0;
+  out_meta[4] = (sink.overflow || sink.bad) ? 1 : 0;
   s->sink = nullptr;
   return consumed;
 }
@@ -756,14 +867,98 @@ int scanner_scan_unified(void *ctx, const uint8_t *pkt, int pkt_len,
   int consumed = s->scan(pkt, pkt_len);
   out_meta[0] = sink.uops_n;
   out_meta[1] = sink.ucoef_n;
-  out_meta[2] = sink.overflow ? 1 : 0;
+  out_meta[2] = (sink.overflow || sink.bad) ? 1 : 0;
   s->sink = nullptr;
   return consumed;
+}
+
+// Whole-GOP packed scan for ONE stream: scans n_frames consecutive packets
+// (concatenated in ``data`` at ``pkt_off`` byte offsets, n_frames+1 entries)
+// and emits the fused-GOP sparse upload format of ops/vmem_engine.py
+// directly — see PlanSink's GOP fields.  Per-frame outputs let the Python
+// side split oversized GOPs at frame boundaries WITHOUT rescanning:
+//   frame_nct[f]  chunks emitted for frame f
+//   frame_nnz[f]  sparse coefficient entries emitted for frame f
+//   consumed[f]   bitstream end offset of frame f (MODS audio start)
+// out_meta = {nct, nnz, done_frames, err, val_overflow}.  ``err``=1 means
+// frame ``done_frames`` was malformed (its partial output is discarded,
+// decoder state is NOT rewound — callers resync at a keyframe, like the
+// reference player's catch{}).  done_frames < n_frames with err=0 means an
+// output capacity was hit; that frame's state was rewound, so the caller
+// re-invokes with the remaining packets.
+int scanner_scan_gop(void *ctx, const uint8_t *data, const int32_t *pkt_off,
+                     int n_frames,
+                     int32_t *ops3, int nct_cap,
+                     int32_t *sidx, int16_t *sval, int nnz_cap,
+                     uint32_t *szbits, int32_t *consumed,
+                     int32_t *frame_nct, int32_t *frame_nnz,
+                     int32_t *out_meta) {
+  Scanner *s = static_cast<Scanner *>(ctx);
+  PlanSink sink;
+  sink.unified_only = true;
+  sink.g_ops3 = ops3; sink.g_nct_cap = nct_cap;
+  sink.g_idx = sidx; sink.g_val = sval; sink.g_nnz_cap = nnz_cap;
+  sink.g_szbits = szbits;
+  s->sink = &sink;
+  int done = 0, err = 0;
+  Scanner::State snap;
+  for (int f = 0; f < n_frames; f++) {
+    s->save(snap);
+    int nct0 = sink.g_nct, nnz0 = sink.g_nnz;
+    sink.g_frame = f;
+    sink.overflow = false;
+    sink.bad = false;
+    sink.g_pend = nullptr;
+    s->g_open_chunk(1);
+    if (sink.overflow) {       // chunk capacity already full at frame start
+      sink.g_nct = nct0;
+      break;
+    }
+    int c = s->scan(data + pkt_off[f], pkt_off[f + 1] - pkt_off[f]);
+    if (c < 0 || sink.bad) {   // malformed: keep prior frames, no rewind
+      sink.g_nct = nct0;
+      sink.g_nnz = nnz0;
+      err = 1;
+      break;
+    }
+    if (sink.overflow) {       // capacity: rewind this frame entirely
+      s->restore(snap);
+      sink.g_nct = nct0;
+      sink.g_nnz = nnz0;
+      break;
+    }
+    s->g_close_chunk(1);
+    consumed[f] = c;
+    frame_nct[f] = sink.g_nct - nct0;
+    frame_nnz[f] = sink.g_nnz - nnz0;
+    done = f + 1;
+  }
+  out_meta[0] = sink.g_nct;
+  out_meta[1] = sink.g_nnz;
+  out_meta[2] = done;
+  out_meta[3] = err;
+  out_meta[4] = sink.g_val_overflow ? 1 : 0;
+  s->sink = nullptr;
+  return done;
 }
 
 // expose/restore decoder-persistent state for GOP seek parity
 void scanner_get_state(void *ctx, uint32_t *quantizer) {
   *quantizer = static_cast<Scanner *>(ctx)->quantizer;
+}
+
+// Caller-visible checkpoint of the cross-frame decoder state (quantizer,
+// dequant tables, MV/intra caches).  Lets the Python driver undo a whole
+// scanner_scan_gop call (e.g. to fall back to a different scan path) and
+// re-scan the same packets with identical semantics.
+void scanner_checkpoint(void *ctx) {
+  Scanner *s = static_cast<Scanner *>(ctx);
+  s->save(s->ckpt);
+}
+
+void scanner_rollback(void *ctx) {
+  Scanner *s = static_cast<Scanner *>(ctx);
+  s->restore(s->ckpt);
 }
 
 }  // extern "C"

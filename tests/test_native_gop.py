@@ -1,0 +1,170 @@
+"""Native whole-GOP packed scan (scanner_scan_gop): the C++ scanner emits
+the fused-GOP sparse upload blob directly.  Gates:
+
+* bit-identical blobs vs the Python _pack_gop_chunks + _pack_gop_blob_sparse
+  pipeline (the executable spec of the layout),
+* frame-boundary splitting without rescanning (oversized-GOP dispatch),
+* checkpoint/rollback exactness (the fallback path's correctness argument),
+* malformed-frame prefix semantics through decode_stream_chunk.
+"""
+import numpy as np
+import pytest
+
+from mobiclipdecoder_tpu.models.oracle_video import MobiclipVersion
+from mobiclipdecoder_tpu.ops.vmem_engine import (
+    CHUNK, VmemBatchDecoder, VmemVideoDecoder, _assemble_gop_parts,
+    _gop_part, _pack_gop_blob_sparse, _pack_gop_chunks, _split_gop_part)
+from mobiclipdecoder_tpu.testing.synth import StreamSynthesizer
+from mobiclipdecoder_tpu.utils.native import NativePlanner
+
+
+def _gop(B=3, F=8, W=256, H=192, version=MobiclipVersion.MODS_DS):
+    synths = [StreamSynthesizer(W, H, version, seed=b) for b in range(B)]
+    return [[s.iframe(0x18) if f == 0 else s.pframe() for s in synths]
+            for f in range(F)]
+
+
+def test_gop_blob_bit_identical_to_python_pack():
+    B, F = 3, 8
+    frames = _gop(B, F)
+    bd = VmemBatchDecoder(256, 192, MobiclipVersion.MODS_DS, batch=B)
+    plans_fb = [bd._scan_all(fp) for fp in frames]
+    ops, coefs, sizes = _pack_gop_chunks(plans_fb, B)
+    nct = ops.shape[1]
+    blob_ref, nnzb_ref = _pack_gop_blob_sparse(
+        ops, coefs, sizes.reshape(B, nct * CHUNK))
+
+    nvs = [NativePlanner(256, 192, int(MobiclipVersion.MODS_DS))
+           for _ in range(B)]
+    res = [nv.scan_gop_packed([frames[f][b] for f in range(F)])
+           for b, nv in enumerate(nvs)]
+    for r in res:
+        assert r["done"] == F and not r["err"] and not r["val_overflow"]
+    blob_nat, nct_nat, nnzb_nat = _assemble_gop_parts(
+        [_gop_part(r) for r in res])
+    assert nct_nat == nct and nnzb_nat == nnzb_ref
+    assert np.array_equal(blob_ref, blob_nat)
+
+
+def test_gop_split_matches_separate_scans():
+    """Splitting one scan's parts at a frame boundary must equal scanning
+    the two halves as separate GOP calls (re-based frame ids + indices)."""
+    F = 8
+    frames = _gop(1, F)
+    pkts = [frames[f][0] for f in range(F)]
+
+    nv = NativePlanner(256, 192, int(MobiclipVersion.MODS_DS))
+    r = nv.scan_gop_packed(pkts)
+    assert r["done"] == F
+    part = _gop_part(r)
+    mid = 3
+    a, b = _split_gop_part(part, 0, mid), _split_gop_part(part, mid, F)
+    blob_a, nct_a, nnzb_a = _assemble_gop_parts([a])
+    blob_b, nct_b, nnzb_b = _assemble_gop_parts([b])
+
+    nv2 = NativePlanner(256, 192, int(MobiclipVersion.MODS_DS))
+    ra = nv2.scan_gop_packed(pkts[:mid])
+    rb = nv2.scan_gop_packed(pkts[mid:])
+    blob_a2, _, _ = _assemble_gop_parts([_gop_part(ra)])
+    blob_b2, _, _ = _assemble_gop_parts([_gop_part(rb)])
+    assert np.array_equal(blob_a, blob_a2)
+    assert np.array_equal(blob_b, blob_b2)
+
+
+def test_checkpoint_rollback_rescan_identical():
+    F = 6
+    frames = _gop(1, F)
+    pkts = [frames[f][0] for f in range(F)]
+    nv = NativePlanner(256, 192, int(MobiclipVersion.MODS_DS))
+    nv.checkpoint()
+    r1 = nv.scan_gop_packed(pkts)
+    nv.rollback()
+    r2 = nv.scan_gop_packed(pkts)
+    assert r1["nct"] == r2["nct"] and r1["nnz"] == r2["nnz"]
+    assert np.array_equal(r1["ops3"][:r1["nct"]], r2["ops3"][:r2["nct"]])
+    assert np.array_equal(r1["idx"][:r1["nnz"]], r2["idx"][:r2["nnz"]])
+    assert np.array_equal(r1["val"][:r1["nnz"]], r2["val"][:r2["nnz"]])
+
+
+def test_gop_scan_malformed_frame_prefix():
+    """A malformed packet mid-GOP: C++ keeps the good prefix and reports
+    err at the frame boundary; decode_stream_chunk mirrors the reference
+    player's containment."""
+    F = 6
+    frames = _gop(1, F)
+    pkts = [frames[f][0] for f in range(F)]
+    bad = 3
+    pkts[bad] = b"\x00"  # < 2 bytes: scan() rejects outright
+
+    nv = NativePlanner(256, 192, int(MobiclipVersion.MODS_DS))
+    r = nv.scan_gop_packed(pkts)
+    assert r["err"] and r["done"] == bad
+    assert len(r["consumed"]) == bad
+
+    dec = VmemVideoDecoder(256, 192, MobiclipVersion.MODS_DS)
+    yuv, offs, err = dec.decode_stream_chunk(pkts)
+    assert err == bad
+    assert yuv.shape[0] == bad and len(offs) == bad
+
+    # the oracle decodes the same prefix identically
+    from mobiclipdecoder_tpu.models.oracle_video import OracleDecoder
+    odec = OracleDecoder(256, 192, MobiclipVersion.MODS_DS)
+    S = odec.stride
+    for k in range(bad):
+        odec.data = pkts[k]
+        odec.offset = 0
+        odec.decode_frame()
+        assert np.array_equal(yuv[k][:192],
+                              odec.y_planes[0].reshape(-1, S)[:192])
+        assert np.array_equal(yuv[k][192:],
+                              odec.uv_planes[0].reshape(-1, S)[:96])
+
+
+def test_gop_val_overflow_flag():
+    """Coefficients beyond int16 set val_overflow (the driver then rewinds
+    and takes the dense path).  QP 51 MODS + max escape levels produce
+    scales large enough to overflow."""
+    s = StreamSynthesizer(256, 192, MobiclipVersion.MODS_DS, seed=0)
+    pkt = s.iframe(51)  # QP 51: 8x8 scale = qscale << 14, levels up to 39
+    nv = NativePlanner(256, 192, int(MobiclipVersion.MODS_DS))
+    r = nv.scan_gop_packed([pkt])
+    if not r["val_overflow"]:
+        pytest.skip("synthesizer produced no >int16 coefficient")
+    assert r["done"] == 1  # val overflow alone doesn't abort the scan
+
+    # the driver rewinds and takes the dense plan path: decode still
+    # matches the oracle
+    from mobiclipdecoder_tpu.models.oracle_video import OracleDecoder
+    dec = VmemVideoDecoder(256, 192, MobiclipVersion.MODS_DS)
+    yuv, offs, err = dec.decode_stream_chunk([pkt])
+    assert err is None and yuv.shape[0] == 1
+    odec = OracleDecoder(256, 192, MobiclipVersion.MODS_DS)
+    odec.data = pkt
+    odec.offset = 0
+    odec.decode_frame()
+    S = odec.stride
+    assert np.array_equal(yuv[0][:192],
+                          odec.y_planes[0].reshape(-1, S)[:192])
+    assert np.array_equal(yuv[0][192:],
+                          odec.uv_planes[0].reshape(-1, S)[:96])
+
+
+def test_decode_gop_native_path_bit_exact_vs_oracle():
+    """decode_gop (now the native scan path) stays bit-exact vs the
+    oracle across a multi-frame GOP."""
+    from mobiclipdecoder_tpu.models.oracle_video import OracleDecoder
+    B, F = 2, 6
+    frames = _gop(B, F)
+    bd = VmemBatchDecoder(256, 192, MobiclipVersion.MODS_DS, batch=B)
+    out = bd.decode_gop(frames, fused=True)
+    for b in range(B):
+        odec = OracleDecoder(256, 192, MobiclipVersion.MODS_DS)
+        S = odec.stride
+        for f in range(F):
+            odec.data = frames[f][b]
+            odec.offset = 0
+            odec.decode_frame()
+            assert np.array_equal(out[f, b, :192],
+                                  odec.y_planes[0].reshape(-1, S)[:192])
+            assert np.array_equal(out[f, b, 192:],
+                                  odec.uv_planes[0].reshape(-1, S)[:96])
