@@ -16,11 +16,15 @@ excitation buffers) is part of the decoder's observable behavior.
 
 Why Sx stays host-side (unlike IMA's scan kernel and FastAudio's batched
 device lattice): `_expand_coefs`'s recursive pairwise mixing multiplies
-coefficients by each other, so the spec's intermediate magnitudes are
-unbounded (adversarial codebooks reach hundreds of bits — measured 130-bit
-values under random-codebook tests, which this oracle, being arbitrary
-precision, handles and any fixed-width device kernel cannot).  Channels
-are decoded in parallel on host instead.
+coefficients by each other, and the saved coefficient state compounds
+across predicted frames, so the spec's intermediate magnitudes are
+unbounded.  Measured (tools/probe_sx_precision.py -> SX_PRECISION.json):
+format-legal codebooks — MODS carries them as unvalidated file bytes,
+ModsDemuxer.cs:20-29 — reach 146-bit intermediates within 64 frames, and
+even codebooks with |s16 rows| <= 256 cross 64 bits; only rows <= ~16 stay
+int64-safe.  A fixed-width device lattice is therefore unsound for legal
+input; channels are decoded in parallel on host instead (this oracle's
+Python ints are arbitrary precision).
 """
 from __future__ import annotations
 

@@ -68,6 +68,34 @@ def _geom(height: int, stride: int) -> tuple[int, int, int]:
     return hh, hhp // 8, stride + 128     # (HH, G8, SP)
 
 
+def _ring_mode(height: int, stride: int) -> int:
+    """How the fused kernel holds the 6-slot reference ring:
+    1 = int32 ring staged into VMEM (DS/3DS sizes), 2 = byte-packed ring
+    (4 px/int32 lane-packed) staged into VMEM (Wii 640x480: 20.8 MB int32
+    -> 5.2 MB packed), 0 = ring stays in HBM (beyond even packed budget).
+    Modes 2/0 store the ring ARRAY packed/unpacked int32 respectively —
+    the host unpacks mode-2 rings with a uint8 view (little-endian)."""
+    _hh, G8, SP = _geom(height, stride)
+    nbytes = 6 * G8 * 8 * SP * 4
+    if nbytes <= _VMEM_RING_BUDGET:
+        return 1
+    if nbytes // 4 <= _VMEM_RING_BUDGET:
+        return 2
+    return 0
+
+
+def _ring_spx(height: int, stride: int) -> int:
+    """Lane width of the stored ring.  Packed mode keeps SP/4 words,
+    rounded up to a multiple of 128 lanes — Mosaic's dynamic lane rotate
+    (pltpu.roll) requires it (a 288-lane rotate crashes the remote
+    compiler; 1152 = 9*128 is why the unpacked path never hit this).
+    Padding words are zero and sit beyond every valid window read."""
+    _hh, _G8, SP = _geom(height, stride)
+    if _ring_mode(height, stride) != 2:
+        return SP
+    return -(-(SP // 4) // 128) * 128
+
+
 @functools.lru_cache(maxsize=None)
 def _lut_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One-hot tap-select weights per (mode, operand j): top-row taps
@@ -163,7 +191,11 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                *rest):
         if fused is not None:
             FB, NCT, STAGE = fused
-            if STAGE:
+            PACKED = STAGE == 2      # byte-packed VMEM ring (_ring_mode)
+            if PACKED:
+                (ring_out_ref, frames_ref,
+                 winl, winc, cur, curc, plane, pplane, vring, sems) = rest
+            elif STAGE:
                 (ring_out_ref, frames_ref,
                  winl, winc, cur, curc, plane, vring, sems) = rest
             else:
@@ -208,6 +240,7 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 for g in range(G8):
                     out_ref[g] = jnp.zeros((8, SP), jnp.int32)
         else:
+            PACKED = False
             out_ref, winl, winc, cur, curc, sems = rest
             chid = pl.program_id(1)
             ring_src = ring_ref
@@ -243,6 +276,51 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                  ).astype(jnp.float32)
         eye16 = (ii16 == jj16).astype(jnp.float32)
         ones16 = jnp.ones((1, 16), jnp.float32)
+
+        if PACKED:
+            # Byte-packed ring domain (4 px per int32 word, little-endian).
+            # Words unpack to pixel lanes with two exact halfword-interleave
+            # matmul stages (operands <= 65535 -> f32 HIGHEST is exact); the
+            # matrices are one-hot selects built from iotas, like the other
+            # reshape tricks in this kernel.  The 0..3 sub-word column shift
+            # is folded INTO the byte-stage matrices (4 static variants
+            # selected elementwise on the traced shift) — Mosaic's dynamic
+            # lane rotate requires 128-aligned lane counts, so a narrow
+            # (24, 32) dynamic roll would not compile.
+            def _ileave(n, s=0):
+                i0 = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * n), 0)
+                i1 = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * n), 1)
+                j = (i1 + s) % (2 * n)
+                return ((j == 2 * i0).astype(jnp.float32),
+                        (j == 2 * i0 + 1).astype(jnp.float32))
+
+            _il = {n: _ileave(n) for n in (4, 8)}
+            _ils = {(n, s): _ileave(n, s)
+                    for n in (8, 16) for s in range(4)}
+
+            def _sel4(s, ms):
+                r = ms[0]
+                for sv in range(1, 4):
+                    r = jnp.where(s == sv, ms[sv], r)
+                return r
+
+            def _ilv(lo, hi, mlo, mhi):
+                return (jnp.dot(lo.astype(jnp.float32), mlo, precision=_HP,
+                                preferred_element_type=jnp.float32)
+                        + jnp.dot(hi.astype(jnp.float32), mhi,
+                                  precision=_HP,
+                                  preferred_element_type=jnp.float32)
+                        ).astype(jnp.int32)
+
+            def unpack_words(w, n, s):
+                """(r, n) int32 packed words -> (r, 4n) pixel bytes,
+                left-rotated by the traced sub-word shift s in 0..3."""
+                h = _ilv(w & 0xFFFF,
+                         jax.lax.shift_right_logical(w, 16), *_il[n])
+                mlo = _sel4(s, [_ils[(2 * n, sv)][0] for sv in range(4)])
+                mhi = _sel4(s, [_ils[(2 * n, sv)][1] for sv in range(4)])
+                return _ilv(h & 0xFF,
+                            jax.lax.shift_right_logical(h, 8), mlo, mhi)
 
         def copy_groups(src_ref, gbase, dst, n):
             dmas = [pltpu.make_async_copy(src_ref.at[gbase + k], dst.at[k],
@@ -322,7 +400,13 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 gl = ring_group(ref, jnp.clip(yb >> 3, 0, G8 - 3))
                 copy_groups(ring_src, gl, winl, 3)
                 w24 = jnp.concatenate([winl[0], winl[1], winl[2]], axis=0)
-                wnd = roll(roll(w24, -(yb & 7), 0), -xb, 1)
+                if PACKED:
+                    # word-granular roll, then unpack 8 words (32 px >=
+                    # 3+17) with the sub-word remainder folded in
+                    wq = roll(roll(w24, -(yb & 7), 0), -(xb >> 2), 1)
+                    wnd = unpack_words(wq[:, :8], 8, xb & 3)
+                else:
+                    wnd = roll(roll(w24, -(yb & 7), 0), -xb, 1)
                 px = halfpel(wnd, 16, dx, dy)
                 c24, g, o = rmw_load(rr)
                 sel = ((sub24 >= o + 1) & (sub24 < o + 1 + bh)
@@ -339,8 +423,18 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 copy_groups(ring_src, gc, winc, 2)
                 w16 = jnp.concatenate([winc[0], winc[1]], axis=0)
                 wr = roll(w16, -(cyb & 7), 0)
-                pxu = halfpel(roll(wr, -(ccu + (cdx >> 1)), 1), 8, cdx, cdy)
-                pxv = halfpel(roll(wr, -(ccv + (cdx >> 1)), 1), 8, cdx, cdy)
+                if PACKED:
+                    def cwin(x):
+                        # 4 words (16 px >= 3+9) around column x
+                        wq = roll(wr, -(x >> 2), 1)
+                        return unpack_words(wq[:, :4], 4, x & 3)
+                    pxu = halfpel(cwin(ccu + (cdx >> 1)), 8, cdx, cdy)
+                    pxv = halfpel(cwin(ccv + (cdx >> 1)), 8, cdx, cdy)
+                else:
+                    pxu = halfpel(roll(wr, -(ccu + (cdx >> 1)), 1), 8,
+                                  cdx, cdy)
+                    pxv = halfpel(roll(wr, -(ccv + (cdx >> 1)), 1), 8,
+                                  cdx, cdy)
                 basec = cy - 1
                 g2 = basec >> 3
                 o2 = basec & 7
@@ -503,7 +597,35 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 else:
                     rbase = (bid * 6 + (5 - fm)) * G8
                     rdst = ring_out_ref
-                dmas = [pltpu.make_async_copy(out_ref.at[g],
+                if PACKED:
+                    # pack the whole int32 plane (pixels <= 255) into
+                    # 4-px words with TWO bf16 matmuls: pair weights
+                    # {1, 256} keep each accumulation <= 65535 (f32-exact
+                    # on the MXU), halves combine with a 16-bit shift.
+                    # Output lanes are the 128-aligned padded word width
+                    # (_ring_spx); pad lanes have all-zero one-hot columns.
+                    SPP = -(-(SP // 4) // 128) * 128
+                    rI = jax.lax.broadcasted_iota(jnp.int32, (SP, SPP), 0)
+                    cI = jax.lax.broadcasted_iota(jnp.int32, (SP, SPP), 1)
+                    n01 = (jnp.where(rI == 4 * cI, 1, 0)
+                           + jnp.where(rI == 4 * cI + 1, 256, 0)
+                           ).astype(jnp.bfloat16)
+                    n23 = (jnp.where(rI == 4 * cI + 2, 1, 0)
+                           + jnp.where(rI == 4 * cI + 3, 256, 0)
+                           ).astype(jnp.bfloat16)
+                    p2 = out_ref[...].reshape(G8 * 8, SP
+                                              ).astype(jnp.bfloat16)
+                    lo = jnp.dot(p2, n01,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(jnp.int32)
+                    hi = jnp.dot(p2, n23,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(jnp.int32)
+                    pplane[...] = (lo | (hi << 16)).reshape(G8, 8, SPP)
+                    rsrc = pplane
+                else:
+                    rsrc = out_ref
+                dmas = [pltpu.make_async_copy(rsrc.at[g],
                                               rdst.at[rbase + g],
                                               sems.at[g % 3])
                         for g in range(G8)]
@@ -599,20 +721,23 @@ def _build_gop_executor(F: int, B: int, H: int, S: int, nct: int,
     streams x 6 slots) stays in HBM and is updated in place (input/output
     aliased); returns (ring, frames (F*B*G8, 8, SP) int32)."""
     _hh, G8, SP = _geom(H, S)
-    stage = 6 * G8 * 8 * SP * 4 <= _VMEM_RING_BUDGET
+    stage = _ring_mode(H, S)
+    SPX = _ring_spx(H, S)                  # stored-ring lane width
     kernel = _make_kernel(H, S, G8, SP, interpret, fused=(B, nct, stage))
     wt, wl, kind = _lut_tables()
-    ring_shape = (B, 6 * G8, 8, SP) if stage else (B * 6 * G8, 8, SP)
+    ring_shape = (B, 6 * G8, 8, SPX) if stage else (B * 6 * G8, 8, SPX)
 
     scratch = [
-        pltpu.VMEM((3, 8, SP), jnp.int32),        # luma MC window
-        pltpu.VMEM((2, 8, SP), jnp.int32),        # chroma MC window
+        pltpu.VMEM((3, 8, SPX), jnp.int32),       # luma MC window
+        pltpu.VMEM((2, 8, SPX), jnp.int32),       # chroma MC window
         pltpu.VMEM((3, 8, SP), jnp.int32),        # RMW block
         pltpu.VMEM((2, 8, SP), jnp.int32),        # chroma RMW block
         pltpu.VMEM((G8, 8, SP), jnp.int32),       # working plane
     ]
+    if stage == 2:
+        scratch.append(pltpu.VMEM((G8, 8, SPX), jnp.int32))  # packed commit
     if stage:
-        scratch.append(pltpu.VMEM((6 * G8, 8, SP), jnp.int32))  # stream ring
+        scratch.append(pltpu.VMEM((6 * G8, 8, SPX), jnp.int32))  # stream ring
     scratch.append(pltpu.SemaphoreType.DMA((3,)))
 
     call = pl.pallas_call(
@@ -647,7 +772,7 @@ def _build_gop_executor(F: int, B: int, H: int, S: int, nct: int,
     def run(ops, ring, resid):
         ring2, frames = call(ops, ring.reshape(ring_shape), resid,
                              wt, wl, kind)
-        return ring2.reshape(B, 6 * G8, 8, SP), frames
+        return ring2.reshape(B, 6 * G8, 8, SPX), frames
 
     return run
 
@@ -715,6 +840,7 @@ def _decode_gop_fused(ring, ops, coefs, sizes, F: int, H: int, S: int,
     B = ops.shape[0]
     nct = ops.shape[1]
     HH, G8, SP = _geom(H, S)
+    SPX = _ring_spx(H, S)     # ring lane width (packed mode stores SP/4)
     flat = coefs.reshape(B * nct * CHUNK, 64)
     r8 = idct8(flat.reshape(-1, 8, 8))
     r4 = jnp.pad(idct4(flat[:, :16].reshape(-1, 4, 4)),
@@ -722,12 +848,12 @@ def _decode_gop_fused(ring, ops, coefs, sizes, F: int, H: int, S: int,
     resid = jnp.where((sizes.reshape(-1) == 4)[:, None, None], r4, r8)
     run = _build_gop_executor(F, B, H, S, nct, interpret)
     ring2, frames = run(ops.reshape(B * nct * CHUNK, 4),
-                        ring.reshape(B, 6 * G8, 8, SP),
+                        ring.reshape(B, 6 * G8, 8, SPX),
                         resid.reshape(B * nct * CHUNK, 64))
     # renormalize the modular ring back to slot 0 = newest (frame F-1 wrote
     # slot (5 - (F-1)) mod 6)
     w_last = (5 - (F - 1)) % 6
-    ring2 = jnp.roll(ring2.reshape(B, 6, G8, 8, SP), -w_last, axis=1)
+    ring2 = jnp.roll(ring2.reshape(B, 6, G8, 8, SPX), -w_last, axis=1)
     yuv = frames.reshape(F, B, G8 * 8, SP)[:, :, MR:MR + HH, MCOL:MCOL + S]
     return ring2, yuv.astype(jnp.uint8)
 
@@ -1198,10 +1324,14 @@ class VmemBatchDecoder:
             interpret = jax.default_backend() != "tpu"
         self.interpret = bool(interpret)
         _hh, G8, SP = _geom(height, self.stride)
-        self.ring = jnp.zeros((batch, 6, G8, 8, SP), jnp.int32)
-        # per-round kernels hold one stream's whole ring as a VMEM block;
-        # beyond this the fused kernel's HBM-ring mode takes over
-        self._ring_hbm = 6 * G8 * 8 * SP * 4 > _VMEM_RING_BUDGET
+        # ring storage follows _ring_mode: mode 2 (Wii sizes) keeps it
+        # byte-packed (4 px/word) so the fused kernel stages it in VMEM
+        self._ring_mode = _ring_mode(height, self.stride)
+        spx = _ring_spx(height, self.stride)
+        self.ring = jnp.zeros((batch, 6, G8, 8, spx), jnp.int32)
+        # per-round kernels hold one stream's whole int32 ring as a VMEM
+        # block; other modes route everything through the fused kernel
+        self._ring_hbm = self._ring_mode != 1
         from ..runtime.metrics import DecodeMetrics
         self.metrics = DecodeMetrics()
 
@@ -1210,6 +1340,18 @@ class VmemBatchDecoder:
         if self.natives is not None:
             return self.natives[0].offset
         return self.planners[0].offset
+
+    def ring_frame_np(self, b: int = 0, slot: int = 0) -> np.ndarray:
+        """Host copy of one ring frame as uint8 rows (G8*8, SP) — the
+        layout-independent accessor for the containment path (packed rings
+        unpack with a little-endian byte view)."""
+        arr = np.asarray(self.ring[b, slot])           # (G8, 8, SPX)
+        if self._ring_mode == 2:
+            _hh, _G8, SP = _geom(self.height, self.stride)
+            arr = arr[..., :SP // 4]                   # drop 128-pad words
+            arr = arr.astype('<i4').view(np.uint8)     # (G8, 8, SP)
+        arr = arr.astype(np.uint8)
+        return arr.reshape(-1, arr.shape[-1])
 
     def _scan_one(self, b: int, packet: bytes) -> dict:
         if self.natives is not None:
@@ -1469,6 +1611,9 @@ class VmemBatchDecoder:
         import time
         t0 = time.perf_counter()
         F = len(frames)
+        if self._ring_hbm:
+            # only the fused kernel supports HBM-resident / packed rings
+            fused, single_dispatch = True, False
         if fused:
             t1, yuv = self._dispatch_gop_fused(frames)
             with jax.profiler.TraceAnnotation("mobiclip.device_decode"):

@@ -55,8 +55,7 @@ def _decode_contained(dec, pkt: bytes):
         # ring slot 0 = last successfully committed frame (the ring is only
         # advanced when a round completes)
         H, S = dec.height, dec.stride
-        prev = np.asarray(dec.ring[0, 0]).reshape(-1, S + 128)
-        prev = prev[8:8 + H + H // 2, 8:8 + S].astype(np.uint8)
+        prev = dec.ring_frame_np()[8:8 + H + H // 2, 8:8 + S]
         return prev[:H], prev[H:], len(pkt), True
 
 
@@ -197,8 +196,7 @@ def decode_mods(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
             if err is not None:
                 # containment: the failed frame shows the last committed
                 # ring frame, like the reference player's `catch {}`
-                prev = np.asarray(dec.ring[0, 0]).reshape(-1, S + 128)
-                prev = prev[8:8 + H + H // 2, 8:8 + S].astype(np.uint8)
+                prev = dec.ring_frame_np()[8:8 + H + H // 2, 8:8 + S]
                 yield emit(prev[:H], prev[H:], pending[K],
                            len(pending[K][0]), True)
                 pending = pending[K + 1:]
@@ -452,8 +450,7 @@ def decode_moflex(data: bytes, engine: str = "oracle",
             for k in range(K):
                 _emit(yuv[k][:H], yuv[k][H:], batch[k][1], False)
             if err is not None:
-                prev = np.asarray(dec.ring[0, 0]).reshape(-1, S + 128)
-                prev = prev[8:8 + H + H // 2, 8:8 + S].astype(np.uint8)
+                prev = dec.ring_frame_np()[8:8 + H + H // 2, 8:8 + S]
                 _emit(prev[:H], prev[H:], batch[K][1], True)
                 del pending_v[:K + 1]
             else:
@@ -576,8 +573,7 @@ def _chunked_video_frames(dec, packets, W: int, H: int,
         for k in range(K):
             yield emit(yuv[k][:H], yuv[k][H:], False)
         if err is not None:
-            prev = np.asarray(dec.ring[0, 0]).reshape(-1, S + 128)
-            prev = prev[8:8 + H + H // 2, 8:8 + S].astype(np.uint8)
+            prev = dec.ring_frame_np()[8:8 + H + H // 2, 8:8 + S]
             yield emit(prev[:H], prev[H:], True)
             pending = pending[K + 1:]
         else:

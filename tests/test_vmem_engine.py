@@ -284,6 +284,40 @@ def test_vmem_wii_size_hbm_ring_matches_oracle(monkeypatch):
             err_msg=f"frame {i} UV")
 
 
+def test_vmem_packed_ring_matches_oracle(monkeypatch):
+    """Byte-packed VMEM ring mode (Wii sizes: int32 ring > budget but the
+    4-px/word packed ring fits) must stay bit-exact vs the oracle — MC
+    windows unpack via interleave matmuls, commits pack via paired bf16
+    matmuls.  Budget patched so a small unique geometry (96x64: 1.18 MiB
+    int32 ring, 295 KiB packed) lands in mode 2 like real 640x480."""
+    from mobiclipdecoder_tpu.ops import vmem_engine as ve
+    monkeypatch.setattr(ve, "_VMEM_RING_BUDGET", 300 * 1024)
+    W, H = 96, 64
+    v = MobiclipVersion.MOFLEX_3DS
+    assert ve._ring_mode(H, 256) == 2
+    synth = StreamSynthesizer(W, H, v, seed=13)
+    oracle = OracleDecoder(W, H, v)
+    eng = ve.VmemVideoDecoder(W, H, v, interpret=True, native=False)
+    assert eng._ring_mode == 2 and eng._ring_hbm
+    for i in range(4):
+        pkt = synth.iframe(0x18) if i == 0 else synth.pframe()
+        oracle.data = pkt
+        oracle.offset = 0
+        oracle.decode_frame()
+        y_t, uv_t = eng.decode_frame(pkt)
+        S = oracle.stride
+        np.testing.assert_array_equal(
+            oracle.y_planes[0].reshape(-1, S), y_t, err_msg=f"frame {i} Y")
+        np.testing.assert_array_equal(
+            oracle.uv_planes[0].reshape(-1, S), uv_t,
+            err_msg=f"frame {i} UV")
+    # layout-independent containment accessor returns the unpacked frame
+    prev = eng.ring_frame_np()
+    np.testing.assert_array_equal(
+        prev[8:8 + H + H // 2, 8:8 + S][:H],
+        oracle.y_planes[0].reshape(-1, S)[:H])
+
+
 def test_vmem_fused_gop_split_on_chunk_overflow(monkeypatch):
     """A GOP exceeding the largest chunk bucket must transparently split
     into multiple dispatches with identical results."""

@@ -21,11 +21,20 @@ resource at all.
       python tools/scaling_bench.py
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# This image's sitecustomize imports jax at startup on the axon TPU, so env
+# vars alone are too late (same dance as tests/conftest.py): honor a
+# requested CPU mesh by reconfiguring jax before any backend initializes.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 
 def main() -> int:
@@ -73,13 +82,49 @@ def main() -> int:
         results[n] = B * F / dt
         n *= 2
 
+    # full-pipeline phase: host scan+pack INCLUDED in the timed loop (the
+    # contention axis the device-only number hides).  Dispatches are async,
+    # so frame f+1's host scan overlaps frame f's device round — the same
+    # overlap shape as the production decode path.
+    e2e = {}
+    n = 1
+    while n <= len(devs):
+        B = streams_per_dev * n
+        mesh = Mesh(np.array(devs[:n]), ("data",))
+        synths = [StreamSynthesizer(W, H, v, seed=b) for b in range(B)]
+        gop = [[s.iframe(0x18) if f == 0 else s.pframe() for s in synths]
+               for f in range(F)]
+        bd = VmemBatchDecoder(W, H, v, batch=B, interpret=interpret)
+        ring = bd.ring
+        for pkts in gop:   # warm/compile
+            ops, coefs, sizes = bd.scan_packets(pkts)
+            ring, yuv = decode_round_sharded(mesh, ring, ops, coefs, sizes,
+                                             H, bd.stride, interpret)
+        jax.block_until_ready(yuv)
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for pkts in gop:
+                ops, coefs, sizes = bd.scan_packets(pkts)
+                ring, yuv = decode_round_sharded(mesh, ring, ops, coefs,
+                                                 sizes, H, bd.stride,
+                                                 interpret)
+            jax.block_until_ready(yuv)
+        dt = (time.perf_counter() - t0) / reps
+        e2e[n] = B * F / dt
+        n *= 2
+
     base = results[1]
+    base_e = e2e[1]
     report = {
         "metric": "vmem_round_scaling",
         "geometry": f"{W}x{H}",
         "fps": {str(k): round(vv, 1) for k, vv in results.items()},
         "efficiency": {str(k): round(vv / (k * base), 3)
                        for k, vv in results.items()},
+        "e2e_fps": {str(k): round(vv, 1) for k, vv in e2e.items()},
+        "e2e_efficiency": {str(k): round(vv / (k * base_e), 3)
+                           for k, vv in e2e.items()},
         "devices": len(devs),
         "host_cores": __import__("os").cpu_count(),
         "backend": jax.default_backend(),
