@@ -8,9 +8,17 @@ whole batch in one jitted call; a whole GOP can be decoded in one device
 program via `lax.scan` over frames.
 
 With a `jax.sharding.Mesh` the batch axis maps onto the mesh's "data" axis
-(corpus/GOP data-parallelism) and the plane width onto "tile" (spatial tile
-sharding — the sequence-parallel analog); XLA inserts the halo/collective
-traffic.  Multi-host GOP assignment lives in parallel/gop.py.
+(corpus/GOP data-parallelism).  There is deliberately NO spatial "tile"
+axis: measured on an 8-device mesh (tools/probe_tile_hlo.py), GSPMD
+responds to width-sharding the ring by emitting an immediate full-plane
+``all-gather`` — the decode-order scattered plane updates make width
+partitioning unprofitable — so a tile spec only added collective traffic
+while every device still materialized the whole plane.  Streams/GOPs are
+the scaling axis (a DS ring is 432 KiB; Wii frames decode multiple-x
+realtime on one chip).  SURVEY.md §5's explicit ppermute 1-px halo +
+MC-apron exchange remains the design on file should a future profile
+exceed single-chip frames.  Multi-host GOP assignment lives in
+parallel/gop.py.
 """
 from __future__ import annotations
 
@@ -95,10 +103,9 @@ class BatchVideoDecoder:
         self.ring = jnp.zeros((batch, 6, HH, self.stride), jnp.int32)
         if mesh is not None:
             self.data_sharding = NamedSharding(mesh, P("data"))
-            axes = mesh.axis_names
-            ring_spec = P("data", None, None,
-                          "tile" if "tile" in axes else None)
-            self.ring_sharding = NamedSharding(mesh, ring_spec)
+            # batch axis only — width-tiling measured as a net loss (see
+            # module docstring / tools/probe_tile_hlo.py)
+            self.ring_sharding = NamedSharding(mesh, P("data"))
             self.ring = jax.device_put(self.ring, self.ring_sharding)
 
     def scan_packets(self, packets: list[bytes]) -> dict:

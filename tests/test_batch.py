@@ -52,7 +52,8 @@ def test_batch_matches_oracle(use_gop_scan):
 
 
 def test_batch_sharded_over_mesh():
-    """Same decode under a (data, tile) mesh on the 8 virtual CPU devices."""
+    """Same decode under a 2-axis mesh on the 8 virtual CPU devices (the
+    second axis is deliberately unused — see test_no_collectives)."""
     devs = np.array(jax.devices()).reshape(4, 2)
     mesh = Mesh(devs, ("data", "tile"))
     W, H, B, F = 64, 48, 4, 2
@@ -65,3 +66,38 @@ def test_batch_sharded_over_mesh():
             y_o, uv_o = data[b][1][f]
             np.testing.assert_array_equal(out[b, :H].ravel(), y_o)
             np.testing.assert_array_equal(out[b, H:].ravel(), uv_o)
+
+
+def test_no_collectives_in_batch_decode():
+    """Streams are independent, so the data-parallel batch program must
+    contain ZERO collectives.  This is the regression gate for the round-2
+    'decorative tile axis' finding: width-sharding the ring made GSPMD
+    all-gather the whole plane on every device (measured,
+    tools/probe_tile_hlo.py), so the tile spec was removed — if a plane
+    sharding ever sneaks back in, the gather reappears here."""
+    from mobiclipdecoder_tpu.parallel.batch import _decode_batch
+    import jax.numpy as jnp
+
+    devs = np.array(jax.devices()).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "tile"))
+    W, H, B = 64, 48, 4
+    version = MobiclipVersion.MODS_DS
+    from mobiclipdecoder_tpu.testing.synth import StreamSynthesizer
+    synths = [StreamSynthesizer(W, H, version, seed=s) for s in range(B)]
+    bd = BatchVideoDecoder(W, H, version, batch=B, mesh=mesh)
+    arrays = bd.scan_packets([s.iframe(0x18) for s in synths])
+    arrays = {k: jax.device_put(v, bd.data_sharding)
+              for k, v in arrays.items()}
+    ring = jnp.roll(bd.ring, 1, axis=1)
+    txt = _decode_batch.lower(
+        ring, arrays["mc"], arrays["resid"], arrays["resid_coef"],
+        arrays["iops"], arrays["icoef"], arrays["seqmap"],
+        arrays["n_levels"], H, bd.stride).compile().as_text()
+    for coll in ("all-gather", "collective-permute", "all-to-all"):
+        assert coll not in txt, f"unexpected {coll} in batch decode HLO"
+    # scalar pred[]/s32[] all-reduces are loop-condition agreement across
+    # the replicated axis (bytes, not planes) — anything bigger is a leak
+    import re
+    for m in re.findall(r"all-reduce[^=]*= (\w+\[[^\]]*\])", txt):
+        assert m in ("pred[]", "s32[]", "u32[]"), \
+            f"non-scalar all-reduce {m} in batch decode HLO"
