@@ -118,6 +118,69 @@ def test_gop_shard_restart_is_idempotent():
     assert sorted(s.gop_index for s in a0 + a1) == [0, 1]
 
 
+def test_vmem_chunked_bitflip_sweep():
+    """The device engine's hot path (decode_stream_chunk, native GOP scan)
+    gets the same fault coverage as the oracle: 20 random bit flips, each
+    must (a) terminate cleanly with a consistent (yuv, offsets, err)
+    triple, (b) keep every frame BEFORE the flipped packet bit-exact vs
+    the oracle, and (c) recover bit-exactly from the next keyframe (an
+    I-frame resets quantizer + caches, MobiclipDecoder.cs:231-236)."""
+    from mobiclipdecoder_tpu.ops.vmem_engine import VmemVideoDecoder
+
+    W, H = 64, 48
+    rng = np.random.default_rng(11)
+    n_err = 0
+    for trial in range(20):
+        synth = StreamSynthesizer(W, H, MobiclipVersion.MODS_DS,
+                                  seed=100 + trial)
+        pkts = [synth.iframe(0x18) if i == 0 else synth.pframe()
+                for i in range(4)]
+        bad = int(rng.integers(1, 4))
+        flipped = bytearray(pkts[bad])
+        bit = int(rng.integers(16, len(flipped) * 8))
+        flipped[bit // 8] ^= 1 << (bit % 8)
+        pkts[bad] = bytes(flipped)
+
+        dec = VmemVideoDecoder(W, H, MobiclipVersion.MODS_DS)
+        yuv, offs, err = dec.decode_stream_chunk(pkts)
+        assert yuv.shape[0] == len(offs) <= 4
+        if err is not None:
+            n_err += 1
+            assert err == yuv.shape[0]  # prefix then the failing packet
+
+        oracle = OracleDecoder(W, H, MobiclipVersion.MODS_DS)
+        S = oracle.stride
+        for k in range(min(yuv.shape[0], bad)):
+            oracle.data = pkts[k]
+            oracle.offset = 0
+            oracle.decode_frame()
+            np.testing.assert_array_equal(
+                yuv[k][:H], oracle.y_planes[0].reshape(-1, S)[:H],
+                err_msg=f"trial {trial} frame {k}")
+
+        # recovery: a fresh keyframe resets everything on both engines
+        # (fresh synthesizer so the tail P-frame only references the tail
+        # I-frame — the fresh comparison oracle has no earlier planes)
+        synth2 = StreamSynthesizer(W, H, MobiclipVersion.MODS_DS,
+                                   seed=500 + trial)
+        tail = [synth2.iframe(0x18), synth2.pframe()]
+        y2, o2, e2 = dec.decode_stream_chunk(tail)
+        assert e2 is None and y2.shape[0] == 2
+        fresh = OracleDecoder(W, H, MobiclipVersion.MODS_DS)
+        for k in range(2):
+            fresh.data = tail[k]
+            fresh.offset = 0
+            fresh.decode_frame()
+            np.testing.assert_array_equal(
+                y2[k][:H], fresh.y_planes[0].reshape(-1, S)[:H],
+                err_msg=f"trial {trial} recovery frame {k}")
+            np.testing.assert_array_equal(
+                y2[k][H:], fresh.uv_planes[0].reshape(-1, S)[:H // 2],
+                err_msg=f"trial {trial} recovery frame {k} UV")
+    # the sweep must actually exercise the containment path at least once
+    assert n_err >= 1
+
+
 def test_truncated_container_is_contained():
     from test_mods_e2e import _build_fixture
     from mobiclipdecoder_tpu.containers.mods import ModsDemuxer
