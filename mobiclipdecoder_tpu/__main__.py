@@ -47,6 +47,10 @@ def main(argv=None):
     pl.add_argument("--dump-frame", type=int, default=None,
                     help="write RGB frame N as PPM")
     pl.add_argument("--dump-path", default=None)
+    pl.add_argument("--pipe-y4m", default=None, metavar="DEST",
+                    help="stream paced display frames as YUV4MPEG2 to a "
+                         "path/FIFO or '-' (stdout): the live viewer — "
+                         "pipe into mpv/ffplay")
     b = sub.add_parser("batch", help="corpus decode: shard files into GOPs"
                                      " and decode them lockstep-batched; "
                                      "idempotent (ledger-resumable)")
@@ -76,10 +80,14 @@ def main(argv=None):
         print(json.dumps(probe_info(args.input)))
     elif args.cmd == "play":
         from .runtime.transcode import play
-        print(json.dumps(play(args.input, engine=args.engine,
-                              realtime=not args.no_pacing,
-                              dump_frame=args.dump_frame,
-                              dump_path=args.dump_path)))
+        stats = play(args.input, engine=args.engine,
+                     realtime=not args.no_pacing,
+                     dump_frame=args.dump_frame,
+                     dump_path=args.dump_path,
+                     pipe_y4m=args.pipe_y4m)
+        # keep stdout clean for the y4m stream when piping to a player
+        out = sys.stderr if args.pipe_y4m == "-" else sys.stdout
+        print(json.dumps(stats), file=out)
     elif args.cmd == "batch":
         from .parallel.distributed import run_worker
         t0 = time.perf_counter()

@@ -359,11 +359,14 @@ def probe_info(path: str | Path) -> dict:
 
 def play(path: str | Path, engine: str = "tpu", realtime: bool = True,
          dump_frame: int | None = None,
-         dump_path: str | Path | None = None) -> dict:
-    """Headless player (the Form1 player's decode/pacing loop,
-    Form1.cs:486-535): decodes frames, paces against 1/fps when
-    ``realtime``, reports achieved fps + deadline misses.  ``dump_frame``
-    writes one RGB frame as PPM (the display surrogate)."""
+         dump_path: str | Path | None = None,
+         pipe_y4m: str | None = None) -> dict:
+    """Player (the Form1 player's decode/pacing loop, Form1.cs:486-535):
+    decodes frames, paces against 1/fps when ``realtime``, reports achieved
+    fps + deadline misses.  ``dump_frame`` writes one RGB frame as PPM.
+    ``pipe_y4m`` streams paced display frames as YUV4MPEG2 to a path/FIFO
+    or stdout ('-') — the live viewing surface:
+    ``play clip.mods --pipe-y4m - | mpv -``."""
     import time
 
     info = probe_info(path)
@@ -391,21 +394,31 @@ def play(path: str | Path, engine: str = "tpu", realtime: bool = True,
     t0 = time.perf_counter()
     n = 0
     late = 0
-    for fr in frames:
-        deadline = t0 + (n + 1) * period
-        now = time.perf_counter()
-        if dump_frame is not None and fr.index == dump_frame:
-            rgb = rawio.yuv_to_rgb(fr.y, fr.u, fr.v, moflex_rgb)
-            rawio.write_ppm(dump_path or (str(path) + f".{fr.index}.ppm"),
-                            rgb)
-        if realtime:
-            if now > deadline:
-                late += 1
-            else:
-                # busy-wait pacing like HiResTimer (Form1.cs:530-535)
-                while time.perf_counter() < deadline:
-                    pass
-        n += 1
+    sink = None
+    try:
+        for fr in frames:
+            deadline = t0 + (n + 1) * period
+            now = time.perf_counter()
+            if dump_frame is not None and fr.index == dump_frame:
+                rgb = rawio.yuv_to_rgb(fr.y, fr.u, fr.v, moflex_rgb)
+                rawio.write_ppm(dump_path or (str(path)
+                                              + f".{fr.index}.ppm"), rgb)
+            if pipe_y4m is not None:
+                if sink is None:
+                    sink = rawio.LiveY4MPipe(pipe_y4m, fr.y.shape[1],
+                                             fr.y.shape[0], fps)
+                sink.add_rgb(rawio.yuv_to_rgb(fr.y, fr.u, fr.v, moflex_rgb))
+            if realtime:
+                if now > deadline:
+                    late += 1
+                else:
+                    # busy-wait pacing like HiResTimer (Form1.cs:530-535)
+                    while time.perf_counter() < deadline:
+                        pass
+            n += 1
+    finally:
+        if sink is not None:
+            sink.close()
     wall = time.perf_counter() - t0
     return {"frames": n, "fps_target": round(fps, 3),
             "fps_achieved": round(n / wall, 2) if wall else 0.0,

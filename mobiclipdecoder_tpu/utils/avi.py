@@ -1,10 +1,13 @@
-"""Minimal AVI (RIFF) writer: uncompressed BGR24 video + PCM16 audio.
+"""Minimal AVI (RIFF) writer + reader: uncompressed BGR24 video + PCM16.
 
 Replaces the reference's Windows-only avifil32.dll P/Invoke wrapper
 (MobiclipDecoder/IO/AVI/Avi.cs:191-262, AviManager.cs) with a portable
 pure-Python muxer, so the converter CLI can emit .avi like
 MobiConverter/Program.cs does (video via AddVideoStream + accumulated PCM
-audio stream, Program.cs:72,176-200,329-353).
+audio stream, Program.cs:72,176-200,329-353).  AviReader covers the
+wrapper's read-back side (AviManager open + VideoStream.GetFrame,
+MobiclipDecoder/IO/AVI/VideoStream.cs:24-655, AudioStream read) for
+uncompressed-DIB files like the ones AviWriter emits.
 """
 from __future__ import annotations
 
@@ -121,3 +124,89 @@ class AviWriter:
         riff = b"AVI " + hdrl + movi + idx1
         with open(self.path, "wb") as f:
             f.write(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+
+class AviReader:
+    """Read an uncompressed-DIB AVI back into frames + PCM (the read-back
+    half of the reference AVI wrapper: VideoStream.GetFrame decodes DIB
+    frame bytes, VideoStream.cs:24-655; AudioStream accumulates PCM).
+
+    Supports the format AviWriter emits: 24-bit bottom-up BGR '00db'/'00dc'
+    video chunks and '01wb' PCM16 audio chunks, walked sequentially from
+    the 'movi' list (no idx1 dependence).
+    """
+
+    def __init__(self, path: str | Path):
+        data = Path(path).read_bytes()
+        if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+            raise ValueError("not an AVI file")
+        self.width = self.height = 0
+        self.fps = 0.0
+        self.audio_rate = 0
+        self.audio_channels = 0
+        self._frames: list[bytes] = []
+        self._audio: list[bytes] = []
+        self._bottom_up = True
+        self._walk(data, 12, len(data))
+        if not self.width or not self.height:
+            raise ValueError("no video stream header found")
+
+    # RIFF chunk walk: LIST chunks recurse, leaves dispatch on fourcc
+    def _walk(self, data: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = data[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            if fourcc == b"LIST":
+                self._walk(data, body + 4, body + size)
+            elif fourcc == b"avih":
+                usec, = struct.unpack_from("<I", data, body)
+                if usec:
+                    self.fps = 1_000_000 / usec
+                self.width, self.height = struct.unpack_from(
+                    "<II", data, body + 32)
+            elif fourcc == b"strf":
+                self._parse_strf(data, body, size)
+            elif fourcc in (b"00db", b"00dc"):
+                self._frames.append(data[body:body + size])
+            elif fourcc == b"01wb":
+                self._audio.append(data[body:body + size])
+            pos = body + size + (size & 1)
+
+    def _parse_strf(self, data: bytes, body: int, size: int) -> None:
+        # a BITMAPINFOHEADER strf starts with biSize=40 (video); a
+        # WAVEFORMATEX strf (format tag 1 = PCM) carries the audio params
+        if size < 16:
+            return
+        (first,) = struct.unpack_from("<I", data, body)
+        if first == 40:           # video BITMAPINFOHEADER
+            height = struct.unpack_from("<i", data, body + 8)[0]
+            self._bottom_up = height >= 0
+            return
+        tag, ch, rate = struct.unpack_from("<HHI", data, body)
+        if tag == 1 and 0 < ch <= 16:
+            self.audio_channels = ch
+            self.audio_rate = rate
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._frames)
+
+    def get_frame(self, i: int) -> np.ndarray:
+        """Frame i as (H, W, 3) uint8 RGB (VideoStream.GetFrame analog)."""
+        raw = self._frames[i]
+        row = self.width * 3 + ((-self.width * 3) % 4)
+        if len(raw) < row * self.height:
+            raise ValueError(f"frame {i} truncated")
+        a = np.frombuffer(raw[:row * self.height], np.uint8)
+        a = a.reshape(self.height, row)[:, :self.width * 3]
+        a = a.reshape(self.height, self.width, 3)
+        if self._bottom_up:
+            a = a[::-1]
+        return a[:, :, ::-1].copy()      # BGR -> RGB
+
+    def audio(self) -> np.ndarray:
+        """All PCM16 samples, interleaved, as one int16 array."""
+        if not self._audio:
+            return np.empty(0, np.int16)
+        return np.frombuffer(b"".join(self._audio), "<i2").copy()

@@ -31,6 +31,41 @@ class Y4MWriter:
         self.f.close()
 
 
+class LiveY4MPipe:
+    """Streaming YUV4MPEG2 C444 sink for live playback: pipe into any
+    y4m-capable player (``play clip.mods --pipe-y4m - | mpv -``).  Frames
+    arrive as display RGB (the reference player's presentation surface,
+    Form1.cs:510-543) and are converted to full-range BT.601 YCbCr 4:4:4 —
+    a display epilogue, deliberately outside the bit-exact YUV contract."""
+
+    def __init__(self, dest, width: int, height: int, fps: float):
+        import sys
+        self._own = dest != "-"
+        self.f = open(dest, "wb") if self._own else sys.stdout.buffer
+        num = int(round(max(fps, 1e-3) * 1000))
+        self.f.write(f"YUV4MPEG2 W{width} H{height} F{num}:1000 Ip A1:1 "
+                     f"C444\n".encode())
+
+    def add_rgb(self, rgb: np.ndarray) -> None:
+        r = rgb[:, :, 0].astype(np.float32)
+        g = rgb[:, :, 1].astype(np.float32)
+        b = rgb[:, :, 2].astype(np.float32)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        self.f.write(b"FRAME\n")
+        for plane in (y, cb, cr):
+            self.f.write(np.clip(plane + 0.5, 0, 255
+                                 ).astype(np.uint8).tobytes())
+        self.f.flush()
+
+    def close(self) -> None:
+        if self._own:
+            self.f.close()
+        else:
+            self.f.flush()
+
+
 def write_wav(path: str | Path, samples: np.ndarray, rate: int,
               channels: int) -> None:
     """PCM16 WAV writer; ``samples`` is interleaved int16 (frames*channels,)."""

@@ -113,3 +113,59 @@ def test_majesco_stub_parity():
     assert br.read(4) == 0x1
     assert br.read(8) == 0x23
     assert br.read(4) == 0x4
+
+def test_avi_round_trip(tmp_path):
+    """AviReader (the reference wrapper's GetFrame read-back analog) must
+    recover exactly the frames and PCM the writer stored."""
+    import numpy as np
+    from mobiclipdecoder_tpu.utils.avi import AviReader, AviWriter
+    rng = np.random.default_rng(5)
+    W, H, N = 36, 20, 4   # odd row stride (36*3 = 108, pad 0) exercised below
+    p = tmp_path / "rt.avi"
+    w = AviWriter(p, W, H, 23.976, audio_rate=32728, audio_channels=2)
+    frames = [rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+              for _ in range(N)]
+    pcm = rng.integers(-32768, 32768, 2 * 500).astype(np.int16)
+    for fr in frames:
+        w.add_frame(fr)
+    w.add_audio(pcm)
+    w.close()
+
+    r = AviReader(p)
+    assert (r.width, r.height, r.n_frames) == (W, H, N)
+    assert abs(r.fps - 23.976) < 0.01
+    assert (r.audio_rate, r.audio_channels) == (32728, 2)
+    for i, fr in enumerate(frames):
+        np.testing.assert_array_equal(r.get_frame(i), fr, err_msg=str(i))
+    np.testing.assert_array_equal(r.audio(), pcm)
+
+
+def test_avi_reader_on_transcode_output(tmp_path):
+    """Read back the converter CLI's own .avi output."""
+    from test_mods_e2e import _build_fixture
+    from mobiclipdecoder_tpu.runtime.transcode import transcode
+    from mobiclipdecoder_tpu.utils.avi import AviReader
+    src = tmp_path / "clip.mods"
+    src.write_bytes(_build_fixture(nframes=4))
+    transcode(src, tmp_path / "out", engine="oracle", fmt="avi")
+    r = AviReader(tmp_path / "out.avi")
+    assert r.n_frames == 4 and r.width == 64 and r.height == 48
+    fr = r.get_frame(0)
+    assert fr.shape == (48, 64, 3) and fr.dtype == np.uint8
+
+
+def test_play_pipe_y4m(tmp_path):
+    """The live viewing surface: play --pipe-y4m streams a valid YUV4MPEG2
+    C444 sequence with one FRAME per decoded frame."""
+    from test_mods_e2e import _build_fixture
+    from mobiclipdecoder_tpu.runtime.transcode import play
+    src = tmp_path / "clip.mods"
+    src.write_bytes(_build_fixture(nframes=5))
+    dest = tmp_path / "live.y4m"
+    stats = play(src, engine="oracle", realtime=False, pipe_y4m=str(dest))
+    assert stats["frames"] == 5
+    data = dest.read_bytes()
+    header, rest = data.split(b"\n", 1)
+    assert header.startswith(b"YUV4MPEG2 W64 H48") and b"C444" in header
+    assert rest.count(b"FRAME\n") == 5
+    assert len(rest) == 5 * (len(b"FRAME\n") + 3 * 64 * 48)
