@@ -16,6 +16,14 @@ device_compute_fps = fused kernel with arguments device-resident — what a
               directly-attached chip sees once transfers are amortized.
 e2e_fps     = scan + decode + one full-GOP YUV download to host numpy.
 
+TIMING METHODOLOGY (fixed in round 3): jax.block_until_ready does NOT
+synchronize execution through this chip's axon tunnel, which silently
+inflated the round-1/2 device numbers ~40x (BENCH_r01/r02 report 21-48k
+fps where the true chained-dispatch rate is ~1.2k).  Every window now
+chains dispatches through the donated ring and ends with a scalar
+reduction fetch — a true barrier whose fixed cost is amortized across
+reps.  e2e numbers always fetched real data and were never affected.
+
 Baseline: the reference is a single-threaded C# decoder whose only published
 performance statement is realtime DS playback (~24 fps, BASELINE.md).
 
@@ -212,15 +220,24 @@ def main() -> int:
                    for f in range(WF)]
         bdw = VmemBatchDecoder(640, 480, MobiclipVersion.MOFLEX_3DS,
                                batch=WB)
-        wplans = [bdw._scan_all(fp) for fp in wframes]
-        _t, wyuv = bdw._dispatch_plans(wplans)      # warm/compile
-        jax.block_until_ready(wyuv)
+        wres = list(bdw._pool.map(
+            lambda b: bdw.natives[b].scan_gop_packed(
+                [wframes[f][b] for f in range(WF)]), range(WB)))
+        wblob, wnct, wnnzb = _assemble_gop_parts(
+            [_gop_part(r) for r in wres])
+        wring = bdw.ring
+        wring, wyuv = _decode_gop_fused_sblob(      # warm/compile
+            wring, wblob, WF, wnct, wnnzb, 480, bdw.stride, bdw.interpret)
+        _sync(wyuv)
 
         def wii_step():
-            _t, wyuv = bdw._dispatch_plans(wplans)
+            nonlocal wring
+            wring, wyuv = _decode_gop_fused_sblob(
+                wring, wblob, WF, wnct, wnnzb, 480, bdw.stride,
+                bdw.interpret)
             return wyuv
 
-        fps_wii = round(best_window(wii_step, WB * WF, reps=2, windows=2), 2)
+        fps_wii = round(best_window(wii_step, WB * WF, reps=5, windows=2), 2)
     except Exception as e:  # surfaced in the JSON, not swallowed
         wii_error = repr(e)
 

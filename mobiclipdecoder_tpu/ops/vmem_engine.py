@@ -61,6 +61,13 @@ NR_BUCKETS = (256, 1024, 4096, 12288)
 
 _HP = jax.lax.Precision.HIGHEST
 
+# Perf-probe hooks (tools/probe_kernel_breakdown.py): building an executor
+# with entries here produces a WRONG-RESULT kernel variant that skips a
+# cost component, isolating its share of runtime.  Never set in production
+# paths; builders are lru-cached per shape, so probe processes must set
+# this before the first build of the probed shape.
+_PROBE_SKIP: frozenset = frozenset()
+
 
 def _geom(height: int, stride: int) -> tuple[int, int, int]:
     hh = height + height // 2
@@ -343,7 +350,8 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
             base = rr - 1
             g = base >> 3
             o = base & 7
-            copy_groups(out_ref, g, cur, 3)
+            if "rmwdma" not in _PROBE_SKIP:
+                copy_groups(out_ref, g, cur, 3)
             c24 = jnp.concatenate([cur[0], cur[1], cur[2]], axis=0)
             return c24, g, o
 
@@ -351,7 +359,8 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
             cur[0] = new24[:8]
             cur[1] = new24[8:16]
             cur[2] = new24[16:24]
-            write_groups(out_ref, g, cur, 3)
+            if "rmwdma" not in _PROBE_SKIP:
+                write_groups(out_ref, g, cur, 3)
 
         def place24(blk16, cc, o):
             p = jnp.pad(blk16, ((0, 8), (0, SP - 16)))
@@ -387,7 +396,6 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
             cc = w1 >> 16
 
             # ------------------------------------------------------ MC (1)
-            @pl.when(typ == 1)
             def _mc():
                 bw = (w0 >> 16) & 0x1F
                 bh = (w0 >> 21) & 0x1F
@@ -398,7 +406,8 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 yb = rr + (dy >> 1)
                 xb = cc + (dx >> 1)
                 gl = ring_group(ref, jnp.clip(yb >> 3, 0, G8 - 3))
-                copy_groups(ring_src, gl, winl, 3)
+                if "mcdma" not in _PROBE_SKIP:
+                    copy_groups(ring_src, gl, winl, 3)
                 w24 = jnp.concatenate([winl[0], winl[1], winl[2]], axis=0)
                 if PACKED:
                     # word-granular roll, then unpack 8 words (32 px >=
@@ -420,7 +429,8 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 ccv = ccu + S // 2
                 cyb = cy + (cdy >> 1)
                 gc = ring_group(ref, jnp.clip(cyb >> 3, 0, G8 - 2))
-                copy_groups(ring_src, gc, winc, 2)
+                if "mcdma" not in _PROBE_SKIP:
+                    copy_groups(ring_src, gc, winc, 2)
                 w16 = jnp.concatenate([winc[0], winc[1]], axis=0)
                 wr = roll(w16, -(cyb & 7), 0)
                 if PACKED:
@@ -438,7 +448,8 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 basec = cy - 1
                 g2 = basec >> 3
                 o2 = basec & 7
-                copy_groups(out_ref, g2, curc, 2)
+                if "rmwdma" not in _PROBE_SKIP:
+                    copy_groups(out_ref, g2, curc, 2)
                 c16 = jnp.concatenate([curc[0], curc[1]], axis=0)
                 cw = bw >> 1
                 ch = bh >> 1
@@ -454,10 +465,10 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                                   jnp.where(selv, placec(pxv, ccv), c16))
                 curc[0] = new16[:8]
                 curc[1] = new16[8:16]
-                write_groups(out_ref, g2, curc, 2)
+                if "rmwdma" not in _PROBE_SKIP:
+                    write_groups(out_ref, g2, curc, 2)
 
             # -------------------------------------------------- resid (2)
-            @pl.when(typ == 2)
             def _res():
                 size = 1 << ((w0 >> 2) & 7)
                 c24, g, o = rmw_load(rr)
@@ -473,7 +484,6 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 rmw_commit(jnp.where(sel, placed, c24), g)
 
             # -------------------------------------------------- intra (3)
-            @pl.when(typ == 3)
             def _intra():
                 size = 1 << ((w0 >> 2) & 7)
                 mode = (w0 >> 5) & 0x1F
@@ -581,9 +591,16 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                        & (lane24 >= cc) & (lane24 < cc + size))
                 rmw_commit(jnp.where(sel, place24(outb, cc, o), c24), g)
 
+            if "mc" not in _PROBE_SKIP:
+                pl.when(typ == 1)(_mc)
+            if "resid" not in _PROBE_SKIP:
+                pl.when(typ == 2)(_res)
+            if "intra" not in _PROBE_SKIP:
+                pl.when(typ == 3)(_intra)
             return 0
 
-        jax.lax.fori_loop(1, 1 + ops_ref[0, 0], body, 0)
+        if "body" not in _PROBE_SKIP:
+            jax.lax.fori_loop(1, 1 + ops_ref[0, 0], body, 0)
 
         if fused is not None:
             @pl.when(last == 1)
