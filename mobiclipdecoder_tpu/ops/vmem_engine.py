@@ -105,19 +105,21 @@ def _ring_spx(height: int, stride: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _lut_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One-hot tap-select weights per (mode, operand j): top-row taps
-    (corner at 0, t[k] at 1+k) and left-column taps (l[k])."""
-    wt = np.zeros((60, 32, 256), np.float32)
-    wl = np.zeros((60, 16, 256), np.float32)
+    """One-hot tap-select weights per mode: top-row taps (corner at 0,
+    t[k] at 1+k) and left-column taps (l[k]).  The three operand columns
+    j=0..2 are fused side by side (lane j*256+pix) so ONE matmul per
+    (taps, mode) computes all three operands — small dependent MXU ops are
+    latency-bound, so 6 dots -> 2 is a direct per-op saving."""
+    wt = np.zeros((20, 32, 768), np.float32)
+    wl = np.zeros((20, 16, 768), np.float32)
     for mode in range(20):
         for j in range(3):
-            row = mode * 3 + j
             for pix in range(256):
                 tap = int(TAPS[mode, pix, j])
                 if tap <= 16:
-                    wt[row, tap, pix] = 1.0
+                    wt[mode, tap, j * 256 + pix] = 1.0
                 else:
-                    wl[row, tap - 17, pix] = 1.0
+                    wl[mode, tap - 17, j * 256 + pix] = 1.0
     return (wt.astype(jnp.bfloat16), wl.astype(jnp.bfloat16),
             KIND.astype(np.int32))
 
@@ -260,10 +262,16 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 for g in range(G8):
                     out_ref[g] = jnp.zeros((8, SP), jnp.int32)
 
-        sub24 = jax.lax.broadcasted_iota(jnp.int32, (24, SP), 0)
-        lane24 = jax.lax.broadcasted_iota(jnp.int32, (24, SP), 1)
-        sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, SP), 0)
-        lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, SP), 1)
+        # 1-D iota vectors for selection masks: a rectangle select is the
+        # broadcast-AND of a (rows, 1) row window and a (1, SP) lane window
+        # (ONE full-width op instead of four full-width iota compares)
+        rc24 = jax.lax.broadcasted_iota(jnp.int32, (24, 1), 0)
+        rc16s = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+        lr_sp = jax.lax.broadcasted_iota(jnp.int32, (1, SP), 1)
+
+        def rect(rcol, r0, r1, c0, c1):
+            return ((rcol >= r0) & (rcol < r1)) & ((lr_sp >= c0)
+                                                   & (lr_sp < c1))
         ii16 = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 0)
         jj16 = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1)
         jr1 = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)   # lane idx
@@ -271,10 +279,10 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
         # one-hot reshape matmuls: (1,256)->(16,16) and (1,64)->(8,8)
         rm1_16 = (jax.lax.broadcasted_iota(jnp.int32, (16, 256), 1) // 16
                   == jax.lax.broadcasted_iota(jnp.int32, (16, 256), 0)
-                  ).astype(jnp.float32)
+                  ).astype(jnp.bfloat16)
         rm2_16 = (jax.lax.broadcasted_iota(jnp.int32, (256, 16), 0) % 16
                   == jax.lax.broadcasted_iota(jnp.int32, (256, 16), 1)
-                  ).astype(jnp.float32)
+                  ).astype(jnp.bfloat16)
         rm1_8 = (jax.lax.broadcasted_iota(jnp.int32, (8, 64), 1) // 8
                  == jax.lax.broadcasted_iota(jnp.int32, (8, 64), 0)
                  ).astype(jnp.float32)
@@ -418,10 +426,11 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                     wnd = roll(roll(w24, -(yb & 7), 0), -xb, 1)
                 px = halfpel(wnd, 16, dx, dy)
                 c24, g, o = rmw_load(rr)
-                sel = ((sub24 >= o + 1) & (sub24 < o + 1 + bh)
-                       & (lane24 >= cc) & (lane24 < cc + bw))
+                sel = rect(rc24, o + 1, o + 1 + bh, cc, cc + bw)
                 rmw_commit(jnp.where(sel, place24(px, cc, o), c24), g)
                 # chroma (U | V halves of the packed plane; MVs re-halved)
+                if "mchroma" in _PROBE_SKIP:
+                    return
                 cdx = dx >> 1
                 cdy = dy >> 1
                 cy = MR + H + ((rr - MR) >> 1)
@@ -453,16 +462,15 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 c16 = jnp.concatenate([curc[0], curc[1]], axis=0)
                 cw = bw >> 1
                 ch = bh >> 1
-
-                def placec(p8, col):
-                    p = jnp.pad(p8, ((0, 8), (0, SP - 8)))
-                    return roll(roll(p, col, 1), o2 + 1, 0)
-
-                rsel = (sub16 >= o2 + 1) & (sub16 < o2 + 1 + ch)
-                selu = rsel & (lane16 >= ccu) & (lane16 < ccu + cw)
-                selv = rsel & (lane16 >= ccv) & (lane16 < ccv + cw)
-                new16 = jnp.where(selu, placec(pxu, ccu),
-                                  jnp.where(selv, placec(pxv, ccv), c16))
+                # U and V tiles placed in ONE pass: V sits at its static
+                # +S/2 offset before the shared roll (ccv = ccu + S/2)
+                puv = (jnp.pad(pxu, ((0, 8), (0, SP - 8)))
+                       + jnp.pad(pxv, ((0, 8), (S // 2, SP - 8 - S // 2))))
+                placed = roll(roll(puv, ccu, 1), o2 + 1, 0)
+                rowm = (rc16s >= o2 + 1) & (rc16s < o2 + 1 + ch)
+                colm = (((lr_sp >= ccu) & (lr_sp < ccu + cw))
+                        | ((lr_sp >= ccv) & (lr_sp < ccv + cw)))
+                new16 = jnp.where(rowm & colm, placed, c16)
                 curc[0] = new16[:8]
                 curc[1] = new16[8:16]
                 if "rmwdma" not in _PROBE_SKIP:
@@ -475,12 +483,12 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 a = roll(roll(c24, -o, 0), -cc, 1)
                 cur8 = a[1:9, :8]
                 row = resid_ref[pl.ds(w3, 1), :].astype(jnp.float32)
-                res8 = reshape_res8(row)
+                res8 = (jnp.zeros((8, 8), jnp.int32)
+                        if "rres" in _PROBE_SKIP else reshape_res8(row))
                 out8 = jnp.clip(cur8 + res8, 0, 255)
                 p = jnp.pad(out8, ((0, 16), (0, SP - 8)))
                 placed = roll(roll(p, cc, 1), o + 1, 0)
-                sel = ((sub24 >= o + 1) & (sub24 < o + 1 + size)
-                       & (lane24 >= cc) & (lane24 < cc + size))
+                sel = rect(rc24, o + 1, o + 1 + size, cc, cc + size)
                 rmw_commit(jnp.where(sel, placed, c24), g)
 
             # -------------------------------------------------- intra (3)
@@ -492,7 +500,8 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 avl = (w0 >> 12) & 1
                 grad = w2
                 c24, g, o = rmw_load(rr)
-                a = roll(roll(c24, -o, 0), -(cc - 1), 1)
+                a = (c24 if "itaps" in _PROBE_SKIP
+                     else roll(roll(c24, -o, 0), -(cc - 1), 1))
                 # row 0 = taps row (rr-1); col 0 = taps col (cc-1)
                 trow32 = a[:1, :32]          # corner @0, t[k] @1+k
                 t16 = a[:1, 1:17]
@@ -505,15 +514,17 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                                precision=_HP)          # (1,16) transpose
                 trb = trow32.astype(jnp.bfloat16)
                 lrb = lrow.astype(jnp.bfloat16)
-                m3 = mode * 3
-                ps = []
-                for j in range(3):
-                    pj = (jnp.dot(trb, wt_ref[m3 + j],
-                                  preferred_element_type=jnp.float32)
-                          + jnp.dot(lrb, wl_ref[m3 + j],
-                                    preferred_element_type=jnp.float32))
-                    ps.append(pj.astype(jnp.int32))
-                p1, p2, p3 = ps
+                if "iluts" in _PROBE_SKIP:
+                    pall = jnp.zeros((1, 768), jnp.int32)
+                else:
+                    pall = (jnp.dot(trb, wt_ref[mode],
+                                    preferred_element_type=jnp.float32)
+                            + jnp.dot(lrb, wl_ref[mode],
+                                      preferred_element_type=jnp.float32)
+                            ).astype(jnp.int32)
+                p1 = pall[:, :256]
+                p2 = pall[:, 256:512]
+                p3 = pall[:, 512:]
                 # --- DC value with edge availability (:1920-2022)
                 npx = jnp.where(size == 4, 4, 8)
                 logn = jnp.where(size == 4, 2, 3)
@@ -533,13 +544,15 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 pred256 = jnp.where(kindr == AVG3,
                                     (p1 + 2 * p2 + p3 + 2) >> 2, pred256)
                 pred256 = jnp.where(kindr == DC, dc, pred256)
-                predf = rm1_16 * pred256.astype(jnp.float32)
-                pred16 = jnp.dot(predf, rm2_16,
-                                 preferred_element_type=jnp.float32,
-                                 precision=_HP).astype(jnp.int32)
+                # bf16 exact: pred256 in 0..255 and the matrices one-hot
+                predb = rm1_16 * pred256.astype(jnp.bfloat16)
+                pred16 = jnp.dot(predb, rm2_16,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(jnp.int32)
 
                 # --- plane modes 2/12 + plane16: closed form of the
                 # sub_1167BC/sub_116CCC/sub_117E98 recurrences (:3017-3327)
+                skip_plane = "iplane" in _PROBE_SKIP
                 n16 = size == 16
                 n16i = n16.astype(jnp.int32)
                 tr = jnp.sum(jnp.where(jr1 == size - 1, t16, 0))
@@ -580,15 +593,15 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                                               jnp.where(lane4 == 2, b2,
                                                         b3)))
                 is_plane = (mode == 2) | (mode == 12)
-                pred = jnp.where(is_plane, plane16, pred16)
+                pred = (pred16 if skip_plane
+                        else jnp.where(is_plane, plane16, pred16))
 
                 # --- optional residual (add-clamp, MinMaxTable semantics)
                 row = resid_ref[pl.ds(w3, 1), :].astype(jnp.float32)
                 res16 = jnp.pad(reshape_res8(row), ((0, 8), (0, 8)))
                 outb = jnp.where(has == 1,
                                  jnp.clip(pred + res16, 0, 255), pred)
-                sel = ((sub24 >= o + 1) & (sub24 < o + 1 + size)
-                       & (lane24 >= cc) & (lane24 < cc + size))
+                sel = rect(rc24, o + 1, o + 1 + size, cc, cc + size)
                 rmw_commit(jnp.where(sel, place24(outb, cc, o), c24), g)
 
             if "mc" not in _PROBE_SKIP:
@@ -694,9 +707,9 @@ def _build_executor(B: int, H: int, S: int, nops: int, nr: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, 64), lambda b, ch: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((60, 32, 256), lambda b, ch: (0, 0, 0),
+            pl.BlockSpec((20, 32, 768), lambda b, ch: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((60, 16, 256), lambda b, ch: (0, 0, 0),
+            pl.BlockSpec((20, 16, 768), lambda b, ch: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((20, 256), lambda b, ch: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -770,9 +783,9 @@ def _build_gop_executor(F: int, B: int, H: int, S: int, nct: int,
             pl.BlockSpec(memory_space=pltpu.ANY),                   # ring
             pl.BlockSpec((CHUNK, 64), lambda b, ch: (b * nct + ch, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((60, 32, 256), lambda b, ch: (0, 0, 0),
+            pl.BlockSpec((20, 32, 768), lambda b, ch: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((60, 16, 256), lambda b, ch: (0, 0, 0),
+            pl.BlockSpec((20, 16, 768), lambda b, ch: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((20, 256), lambda b, ch: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -58,7 +58,7 @@ def main(variants) -> int:
     results = {}
     for var in variants:
         ve._PROBE_SKIP = (frozenset() if var == "base"
-                          else frozenset({var}))
+                          else frozenset(var.split("+")))
         ve._build_gop_executor.cache_clear()
         t0 = time.perf_counter()
         run = ve._build_gop_executor(F, B, H, S, nct, False)
