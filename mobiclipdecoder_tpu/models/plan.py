@@ -90,6 +90,14 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
     rows: list[tuple[int, int, int, int]] = []
     coefs: list[np.ndarray] = []
     sizes: list[int] = []
+    # quad-merge peephole state: consecutive 4x4 residuals of one 8x8
+    # fold into a single size-8-region op whose coefficient row holds the
+    # sub-blocks in quadrant slots [q0|q1|q2|q3] (the _residuals pre-pass
+    # IDCTs each; absent quadrants are zero => untouched pixels).  Legal
+    # because the sub-ops are emitted consecutively and write disjoint
+    # pixels; cuts the dominant op type ~3x.  Mirrored bit-identically by
+    # the C++ scanner (native/scanner.cpp u_resid).
+    quad = {"key": None, "row": -1, "b": -1}
 
     def coef_row(dense, size) -> int:
         co = np.zeros(64, np.int32)
@@ -99,6 +107,23 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
         return len(coefs) - 1
 
     def emit_resid(pid, y, x, size, dense):
+        if size == 4:
+            key = (pid, y >> 3, x >> 3)
+            b = ((y >> 2) & 1) * 2 + ((x >> 2) & 1)
+            if quad["key"] == key and b > quad["b"]:
+                coefs[quad["row"]][16 * b:16 * b + 16] = \
+                    np.asarray(dense, np.int32).ravel()
+                quad["b"] = b
+                return
+            k = coef_row(np.zeros(16, np.int32), 4)
+            coefs[k][16 * b:16 * b + 16] = \
+                np.asarray(dense, np.int32).ravel()
+            quad.update(key=key, row=k, b=b)
+            w0 = OP_RESID | (_SIZE_LOG[8] << 2)
+            rr = mr + (y & ~7) + (H if pid else 0)
+            rows.append((w0, rr | ((mcol + (x & ~7)) << 16), 0, k))
+            return
+        quad["key"] = None
         k = coef_row(dense, size)
         w0 = OP_RESID | (_SIZE_LOG[size] << 2)
         rr = mr + y + (H if pid else 0)
@@ -107,6 +132,7 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
     for op in ops:
         kind = op[0]
         if kind == "mc":
+            quad["key"] = None
             _, w, h, ref, dx, dy, off = op
             y, x = off // S, off % S
             w0 = (OP_MC | (ref << 13) | (w << 16) | (h << 21))
@@ -123,6 +149,7 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
                 if cf is not None:
                     emit_resid(pid, y, x, size, cf[0])
                 continue
+            quad["key"] = None
             half = S // 2 if (pid == 1 and x >= S // 2) else 0
             avl = int((x - half) != 0)
             avt = int(y != 0)

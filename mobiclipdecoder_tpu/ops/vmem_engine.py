@@ -154,6 +154,25 @@ def _chunk_ops(ops_arr: np.ndarray, bucket: int) -> np.ndarray:
     return out
 
 
+
+def _residuals(flat, sizes_flat):
+    """IDCT pre-pass shared by every decode path.
+
+    Rows flagged size 8 hold one 8x8 coefficient block.  Rows flagged 4
+    hold up to FOUR 4x4 blocks in quadrant slots [q0|q1|q2|q3] (the
+    scanner's quad-merge: the 4x4 residuals of one inter 8x8 are emitted
+    as ONE op whose (8,8) residual is assembled here; intra 4x4 residual
+    rows are the degenerate q0-only case, and empty quadrants IDCT to
+    zero, so an absent sub-block leaves its pixels untouched through the
+    kernel's clip(cur + 0) identity).  Returns (N, 64) rows whose (8,8)
+    view is the spatial residual."""
+    r8 = idct8(flat.reshape(-1, 8, 8))
+    q = idct4(flat.reshape(-1, 4, 4))
+    rq = q.reshape(-1, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4).reshape(-1, 8, 8)
+    resid = jnp.where((sizes_flat == 4)[:, None, None], rq, r8)
+    return resid.reshape(-1, 64)
+
+
 # ===================================================================== kernel
 def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                  fused: tuple[int, int] | None = None):
@@ -872,14 +891,10 @@ def _decode_gop_fused(ring, ops, coefs, sizes, F: int, H: int, S: int,
     HH, G8, SP = _geom(H, S)
     SPX = _ring_spx(H, S)     # ring lane width (packed mode stores SP/4)
     flat = coefs.reshape(B * nct * CHUNK, 64)
-    r8 = idct8(flat.reshape(-1, 8, 8))
-    r4 = jnp.pad(idct4(flat[:, :16].reshape(-1, 4, 4)),
-                 ((0, 0), (0, 4), (0, 4)))
-    resid = jnp.where((sizes.reshape(-1) == 4)[:, None, None], r4, r8)
+    resid = _residuals(flat, sizes.reshape(-1))
     run = _build_gop_executor(F, B, H, S, nct, interpret)
     ring2, frames = run(ops.reshape(B * nct * CHUNK, 4),
-                        ring.reshape(B, 6 * G8, 8, SPX),
-                        resid.reshape(B * nct * CHUNK, 64))
+                        ring.reshape(B, 6 * G8, 8, SPX), resid)
     # renormalize the modular ring back to slot 0 = newest (frame F-1 wrote
     # slot (5 - (F-1)) mod 6)
     w_last = (5 - (F - 1)) % 6
@@ -1044,13 +1059,8 @@ def _decode_round_impl(ring, ops, coefs, sizes, H: int, S: int,
     nops = ops.shape[1] * ops.shape[2]   # (B, NCHUNK, CHUNK, 4)
     nr = coefs.shape[1]
     HH, G8, SP = _geom(H, S)
-    # residual pre-pass: full-support IDCT at both sizes, lane-selected
-    flat = coefs.reshape(B * nr, 64)
-    r8 = idct8(flat.reshape(-1, 8, 8))
-    r4 = jnp.pad(idct4(flat[:, :16].reshape(-1, 4, 4)),
-                 ((0, 0), (0, 4), (0, 4)))
-    resid = jnp.where((sizes.reshape(-1) == 4)[:, None, None], r4, r8)
-    resid = resid.reshape(B * nr, 64)
+    # residual pre-pass: full-support IDCT, quad-merged 4x4 rows
+    resid = _residuals(coefs.reshape(B * nr, 64), sizes.reshape(-1))
 
     ringn = jnp.roll(ring, 1, axis=1)
     run = _build_executor(B, H, S, nops, nr, interpret)
@@ -1309,15 +1319,10 @@ def _decode_gop(ring, ops, coefs, sizes, H: int, S: int, interpret: bool):
 
     def step(ring, xs):
         fops, fcoefs, fsizes = xs
-        flat = fcoefs.reshape(B * nr, 64)
-        r8 = idct8(flat.reshape(-1, 8, 8))
-        r4 = jnp.pad(idct4(flat[:, :16].reshape(-1, 4, 4)),
-                     ((0, 0), (0, 4), (0, 4)))
-        resid = jnp.where((fsizes.reshape(-1) == 4)[:, None, None], r4, r8)
+        resid = _residuals(fcoefs.reshape(B * nr, 64), fsizes.reshape(-1))
         ringn = jnp.roll(ring, 1, axis=1)
         out = run(fops.reshape(B * nops, 4),
-                  ringn.reshape(B * 6 * G8, 8, SP),
-                  resid.reshape(B * nr, 64))
+                  ringn.reshape(B * 6 * G8, 8, SP), resid)
         ringn = ringn.at[:, 0].set(out.reshape(B, G8, 8, SP))
         yuv = out.reshape(B, G8 * 8, SP)[:, MR:MR + HH, MCOL:MCOL + S]
         return ringn, yuv.astype(jnp.uint8)

@@ -79,6 +79,15 @@ struct PlanSink {
   bool g_val_overflow = false;      // some |coef| > int16 (val entry clipped)
   const int32_t *g_pend = nullptr;  // coef row deferred to its op's chunk
   int g_pend_size = 0;
+  int g_pend_qoff = 0;              // quadrant element offset within the row
+  int g_last_row = -1;              // absolute coef row of the last g_emit
+
+  // quad-merge peephole (mirrors models/plan.py pack_unified emit_resid):
+  // consecutive 4x4 residuals of one 8x8 fold into a single size-8-region
+  // op whose coefficient row holds the sub-blocks at quadrant slots 16*b.
+  int q_pid = -1, q_y8 = -1, q_x8 = -1, q_b = -1;
+  int q_row = -1;   // ucoef index (unified) / absolute row (GOP mode)
+  int q_qoff = 0;   // quadrant offset for the row being created
 };
 
 struct Scanner {
@@ -199,13 +208,14 @@ struct Scanner {
     if (sink->g_ops3) {  // GOP mode: defer to the op row's chunk (g_emit)
       sink->g_pend = dense;
       sink->g_pend_size = size;
+      sink->g_pend_qoff = sink->q_qoff;
       return 0;
     }
     if (sink->ucoef_n >= sink->ucoef_cap) { sink->overflow = true; return 0; }
     int k = sink->ucoef_n++;
     int32_t *c = sink->ucoef + 64 * k;
     memset(c, 0, 64 * 4);
-    memcpy(c, dense, size * size * 4);
+    memcpy(c + sink->q_qoff, dense, size * size * 4);
     sink->usize[k] = size;
     return k;
   }
@@ -256,7 +266,8 @@ struct Scanner {
     if (k->g_pend) {
       w3 = k->g_crow;
       int row = (k->g_nct - 1) * kChunk + k->g_crow;
-      int32_t base = row * 64;
+      k->g_last_row = row;
+      int32_t base = row * 64 + k->g_pend_qoff;
       int n = k->g_pend_size * k->g_pend_size;
       for (int p = 0; p < n; p++) {       // ascending == np.flatnonzero
         int32_t v = k->g_pend[p];
@@ -280,11 +291,50 @@ struct Scanner {
     k->g_row++;
   }
   void u_mc(int y, int x, int w, int h, int ref, int dx, int dy) {
+    sink->q_pid = -1;
     u_row(1 | (ref << 13) | (w << 16) | (h << 21),
           (8 + y) | ((8 + x) << 16),
           int32_t((uint32_t(dx) & 0xFFFF) | (uint32_t(dy) << 16)), 0);
   }
+  void g_fold_quad(int b, const int32_t *dense) {
+    PlanSink *k = sink;
+    int32_t base = k->q_row * 64 + 16 * b;
+    for (int p = 0; p < 16; p++) {
+      int32_t v = dense[p];
+      if (!v) continue;
+      if (k->g_nnz >= k->g_nnz_cap) { k->overflow = true; return; }
+      if (v < -32768 || v > 32767) k->g_val_overflow = true;
+      k->g_idx[k->g_nnz] = base + p;
+      k->g_val[k->g_nnz] = int16_t(v);
+      k->g_nnz++;
+    }
+  }
+
   void u_resid(int pid, int y, int x, int size, const int32_t *dense) {
+    PlanSink *s2 = sink;
+    if (size == 4) {
+      int b = ((y >> 2) & 1) * 2 + ((x >> 2) & 1);
+      if (s2->q_pid == pid && s2->q_y8 == (y >> 3)
+          && s2->q_x8 == (x >> 3) && b > s2->q_b) {
+        s2->q_b = b;  // fold into the open quad row
+        if (s2->g_ops3) {
+          g_fold_quad(b, dense);
+        } else {
+          memcpy(s2->ucoef + 64 * s2->q_row + 16 * b, dense, 16 * 4);
+        }
+        return;
+      }
+      s2->q_pid = pid; s2->q_y8 = y >> 3; s2->q_x8 = x >> 3; s2->q_b = b;
+      s2->q_qoff = 16 * b;
+      int k = u_coef_row(dense, 4);
+      u_row(2 | (3 << 2),
+            (8 + (y & ~7) + (pid ? height : 0)) | ((8 + (x & ~7)) << 16),
+            0, k);
+      s2->q_qoff = 0;
+      s2->q_row = s2->g_ops3 ? s2->g_last_row : k;
+      return;
+    }
+    s2->q_pid = -1;
     int k = u_coef_row(dense, size);
     u_row(2 | (size_log(size) << 2),
           (8 + y + (pid ? height : 0)) | ((8 + x) << 16), 0, k);
@@ -295,6 +345,7 @@ struct Scanner {
       if (has) u_resid(pid, y, x, size, dense);
       return;
     }
+    sink->q_pid = -1;
     int S = stride;
     int half = (pid == 1 && x >= S / 2) ? S / 2 : 0;
     int avl = (x - half) != 0;
@@ -909,6 +960,7 @@ int scanner_scan_gop(void *ctx, const uint8_t *data, const int32_t *pkt_off,
     sink.overflow = false;
     sink.bad = false;
     sink.g_pend = nullptr;
+    sink.q_pid = -1;   // quad peephole never crosses a frame edge
     s->g_open_chunk(1);
     if (sink.overflow) {       // chunk capacity already full at frame start
       sink.g_nct = nct0;
