@@ -547,8 +547,13 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 # --- DC value with edge availability (:1920-2022)
                 npx = jnp.where(size == 4, 4, 8)
                 logn = jnp.where(size == 4, 2, 3)
-                sum_t = jnp.sum(jnp.where(jr1 < npx, t16, 0))
-                sum_l = jnp.sum(jnp.where(ic1 < npx, l16, 0))
+                # (measured: cross-lane jnp.sum beats tiny MXU dots here —
+                # f32-HIGHEST and bf16 dot variants both benched slower)
+                if "idc" in _PROBE_SKIP:
+                    sum_t = sum_l = 0x80
+                else:
+                    sum_t = jnp.sum(jnp.where(jr1 < npx, t16, 0))
+                    sum_l = jnp.sum(jnp.where(ic1 < npx, l16, 0))
                 dc = jnp.where(
                     (avt == 1) & (avl == 1),
                     (sum_t + sum_l + npx) >> (logn + 1),
@@ -563,19 +568,25 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 pred256 = jnp.where(kindr == AVG3,
                                     (p1 + 2 * p2 + p3 + 2) >> 2, pred256)
                 pred256 = jnp.where(kindr == DC, dc, pred256)
-                # bf16 exact: pred256 in 0..255 and the matrices one-hot
-                predb = rm1_16 * pred256.astype(jnp.bfloat16)
-                pred16 = jnp.dot(predb, rm2_16,
-                                 preferred_element_type=jnp.float32
-                                 ).astype(jnp.int32)
+                if "ipred" in _PROBE_SKIP:
+                    pred16 = jnp.zeros((16, 16), jnp.int32)
+                else:
+                    # bf16 exact: pred256 in 0..255, matrices one-hot
+                    predb = rm1_16 * pred256.astype(jnp.bfloat16)
+                    pred16 = jnp.dot(predb, rm2_16,
+                                     preferred_element_type=jnp.float32
+                                     ).astype(jnp.int32)
 
                 # --- plane modes 2/12 + plane16: closed form of the
                 # sub_1167BC/sub_116CCC/sub_117E98 recurrences (:3017-3327)
                 skip_plane = "iplane" in _PROBE_SKIP
                 n16 = size == 16
                 n16i = n16.astype(jnp.int32)
-                tr = jnp.sum(jnp.where(jr1 == size - 1, t16, 0))
-                bl = jnp.sum(jnp.where(ic1 == size - 1, l16, 0))
+                if "idc" in _PROBE_SKIP:
+                    tr = bl = 1
+                else:
+                    tr = jnp.sum(jnp.where(jr1 == size - 1, t16, 0))
+                    bl = jnp.sum(jnp.where(ic1 == size - 1, l16, 0))
                 r5 = ((bl + tr + 1) >> 1) + 2 * grad
                 r6 = r5 - bl + n16i
                 r9 = r5 - tr + n16i
@@ -616,10 +627,13 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                         else jnp.where(is_plane, plane16, pred16))
 
                 # --- optional residual (add-clamp, MinMaxTable semantics)
-                row = resid_ref[pl.ds(w3, 1), :].astype(jnp.float32)
-                res16 = jnp.pad(reshape_res8(row), ((0, 8), (0, 8)))
-                outb = jnp.where(has == 1,
-                                 jnp.clip(pred + res16, 0, 255), pred)
+                if "ires" in _PROBE_SKIP:
+                    outb = pred
+                else:
+                    row = resid_ref[pl.ds(w3, 1), :].astype(jnp.float32)
+                    res16 = jnp.pad(reshape_res8(row), ((0, 8), (0, 8)))
+                    outb = jnp.where(has == 1,
+                                     jnp.clip(pred + res16, 0, 255), pred)
                 sel = rect(rc24, o + 1, o + 1 + size, cc, cc + size)
                 rmw_commit(jnp.where(sel, place24(outb, cc, o), c24), g)
 
