@@ -51,6 +51,9 @@ def main(argv=None):
                     help="stream paced display frames as YUV4MPEG2 to a "
                          "path/FIFO or '-' (stdout): the live viewer — "
                          "pipe into mpv/ffplay")
+    pl.add_argument("--pipe-wav", default=None, metavar="DEST",
+                    help="stream decoded PCM as WAV alongside (e.g. "
+                         "mpv vid.y4m --audio-file=aud.wav over FIFOs)")
     b = sub.add_parser("batch", help="corpus decode: shard files into GOPs"
                                      " and decode them lockstep-batched; "
                                      "idempotent (ledger-resumable)")
@@ -84,7 +87,8 @@ def main(argv=None):
                      realtime=not args.no_pacing,
                      dump_frame=args.dump_frame,
                      dump_path=args.dump_path,
-                     pipe_y4m=args.pipe_y4m)
+                     pipe_y4m=args.pipe_y4m,
+                     pipe_wav=args.pipe_wav)
         # keep stdout clean for the y4m stream when piping to a player
         out = sys.stderr if args.pipe_y4m == "-" else sys.stdout
         print(json.dumps(stats), file=out)

@@ -360,24 +360,33 @@ def probe_info(path: str | Path) -> dict:
 def play(path: str | Path, engine: str = "tpu", realtime: bool = True,
          dump_frame: int | None = None,
          dump_path: str | Path | None = None,
-         pipe_y4m: str | None = None) -> dict:
+         pipe_y4m: str | None = None,
+         pipe_wav: str | None = None) -> dict:
     """Player (the Form1 player's decode/pacing loop, Form1.cs:486-535):
     decodes frames, paces against 1/fps when ``realtime``, reports achieved
     fps + deadline misses.  ``dump_frame`` writes one RGB frame as PPM.
     ``pipe_y4m`` streams paced display frames as YUV4MPEG2 to a path/FIFO
     or stdout ('-') — the live viewing surface:
-    ``play clip.mods --pipe-y4m - | mpv -``."""
+    ``play clip.mods --pipe-y4m - | mpv -``.  ``pipe_wav`` streams the
+    decoded PCM alongside (the NAudio-output analog, Form1.cs:549-558):
+    ``mpv video.y4m --audio-file=audio.wav`` over two FIFOs."""
     import time
 
     info = probe_info(path)
     data = Path(path).read_bytes()
+    arate, ach = 0, 0
     if info["container"] == "moflex":
         vids = [s for s in info["streams"] if s["type"] == "video"]
         fps = vids[0]["fps"] if vids else 24.0
+        auds = [s for s in info["streams"] if s["type"] == "audio"]
+        if auds:
+            arate, ach = auds[0]["frequency"], auds[0]["channels"]
         frames = decode_moflex(data, engine=engine)
         moflex_rgb = True
     elif info["container"] == "mods":
         fps = info["fps"]
+        if info.get("audio_codec", "none") != "none":
+            arate, ach = info["frequency"], info["channels"]
         frames = decode_mods(data, engine=engine)
         moflex_rgb = False
     elif info["container"] == "moc5":
@@ -386,6 +395,7 @@ def play(path: str | Path, engine: str = "tpu", realtime: bool = True,
         moflex_rgb = True
     elif info["container"] == "vx2":
         fps = info["fps"]
+        arate, ach = 32768, 1
         frames = decode_vx2(data, engine=engine)
         moflex_rgb = True
     else:
@@ -394,7 +404,9 @@ def play(path: str | Path, engine: str = "tpu", realtime: bool = True,
     t0 = time.perf_counter()
     n = 0
     late = 0
+    n_samples = 0
     sink = None
+    asink = None
     try:
         for fr in frames:
             deadline = t0 + (n + 1) * period
@@ -408,6 +420,11 @@ def play(path: str | Path, engine: str = "tpu", realtime: bool = True,
                     sink = rawio.LiveY4MPipe(pipe_y4m, fr.y.shape[1],
                                              fr.y.shape[0], fps)
                 sink.add_rgb(rawio.yuv_to_rgb(fr.y, fr.u, fr.v, moflex_rgb))
+            if pipe_wav is not None and fr.pcm is not None and arate:
+                if asink is None:
+                    asink = rawio.LiveWavPipe(pipe_wav, arate, ach)
+                asink.add(fr.pcm)
+                n_samples += len(fr.pcm)
             if realtime:
                 if now > deadline:
                     late += 1
@@ -419,9 +436,12 @@ def play(path: str | Path, engine: str = "tpu", realtime: bool = True,
     finally:
         if sink is not None:
             sink.close()
+        if asink is not None:
+            asink.close()
     wall = time.perf_counter() - t0
     return {"frames": n, "fps_target": round(fps, 3),
             "fps_achieved": round(n / wall, 2) if wall else 0.0,
+            "audio_samples": n_samples,
             "late_frames": late, "realtime": realtime and late == 0}
 
 

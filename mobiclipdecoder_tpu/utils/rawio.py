@@ -66,6 +66,46 @@ class LiveY4MPipe:
             self.f.flush()
 
 
+class LiveWavPipe:
+    """Streaming PCM16 WAV sink for live playback audio (the reference
+    player feeds decoded PCM to NAudio as it arrives, Form1.cs:549-558).
+    Writes a streaming-style header up front (0xFFFFFFFF sizes, which
+    players accept for pipes); on close, patches the real sizes when the
+    destination is seekable (a regular file)."""
+
+    def __init__(self, dest, rate: int, channels: int):
+        import sys
+        self._own = dest != "-"
+        self.f = open(dest, "wb") if self._own else sys.stdout.buffer
+        self._n = 0
+        ch = max(channels, 1)
+        block = 2 * ch
+        self.f.write(
+            b"RIFF" + b"\xff\xff\xff\xff" + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * block,
+                          block, 16)
+            + b"data" + b"\xff\xff\xff\xff")
+
+    def add(self, pcm: np.ndarray) -> None:
+        b = np.asarray(pcm, dtype="<i2").tobytes()
+        self._n += len(b)
+        self.f.write(b)
+        self.f.flush()
+
+    def close(self) -> None:
+        try:
+            self.f.seek(4)
+            self.f.write(struct.pack("<I", 36 + self._n))
+            self.f.seek(40)
+            self.f.write(struct.pack("<I", self._n))
+        except (OSError, ValueError):
+            pass  # pipe destinations keep the streaming header
+        if self._own:
+            self.f.close()
+        else:
+            self.f.flush()
+
+
 def write_wav(path: str | Path, samples: np.ndarray, rate: int,
               channels: int) -> None:
     """PCM16 WAV writer; ``samples`` is interleaved int16 (frames*channels,)."""

@@ -169,3 +169,39 @@ def test_play_pipe_y4m(tmp_path):
     assert header.startswith(b"YUV4MPEG2 W64 H48") and b"C444" in header
     assert rest.count(b"FRAME\n") == 5
     assert len(rest) == 5 * (len(b"FRAME\n") + 3 * 64 * 48)
+
+
+def test_play_pipe_wav(tmp_path):
+    """play --pipe-wav streams the decoded PCM as a WAV alongside the
+    video pipe (the reference player's NAudio-output analog)."""
+    import struct
+    from mobiclipdecoder_tpu.containers.mods import ModsMuxer
+    from mobiclipdecoder_tpu.models.oracle_video import MobiclipVersion
+    from mobiclipdecoder_tpu.runtime.transcode import play
+    from mobiclipdecoder_tpu.testing.synth import StreamSynthesizer
+
+    rng = np.random.default_rng(9)
+    W, H, ch = 64, 48, 2
+    synth = StreamSynthesizer(W, H, MobiclipVersion.MODS_DS, seed=9)
+    mux = ModsMuxer(W, H, fps=20.0, audio_codec=2, nb_channel=ch,
+                    frequency=16384)
+    for i in range(3):
+        video = synth.iframe(0x18, pad=False) if i == 0 \
+            else synth.pframe(pad=False)
+        pkts = [rng.integers(0, 256, 40).astype(np.uint8).tobytes()
+                for _ in range(ch)]
+        mux.add_frame(video, pkts, keyframe=(i == 0))
+    src = tmp_path / "clip.mods"
+    src.write_bytes(mux.to_bytes())
+
+    wav = tmp_path / "live.wav"
+    stats = play(src, engine="oracle", realtime=False, pipe_wav=str(wav))
+    assert stats["frames"] == 3
+    assert stats["audio_samples"] == 3 * 256 * ch
+    data = wav.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    got_ch, got_rate = struct.unpack_from("<HI", data, 22)
+    assert (got_ch, got_rate) == (ch, 16384)
+    (dlen,) = struct.unpack_from("<I", data, 40)
+    assert dlen == 2 * stats["audio_samples"]  # header patched on close
+    assert len(data) == 44 + dlen
