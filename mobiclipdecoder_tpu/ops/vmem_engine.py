@@ -769,7 +769,11 @@ def _build_executor(B: int, H: int, S: int, nops: int, nr: int,
 # Coefficient rows are partitioned BY CHUNK (each row is referenced by
 # exactly one op, in decode order), so the kernel's resid block is a fixed
 # (CHUNK, 64) = 64 KiB regardless of GOP length.
-NCT_BUCKETS = (16, 64, 160, 512, 1024)
+# Post-quad-merge footprints: a DS 24-frame GOP stream is ~104 chunks and
+# a Wii 8-frame stream ~219 — the 112/256 steps stop padding those 35-57%
+# (each wasted chunk still costs a grid step + SMEM feed).  Each step is a
+# one-time kernel compile per geometry (persistently cached).
+NCT_BUCKETS = (16, 64, 112, 160, 256, 512, 1024)
 # Stage the per-stream 6-slot ring into VMEM when it fits the budget
 # (everything else in the kernel needs ~4-6 MiB); Wii-size rings exceed it
 # and fall back to direct-HBM MC windows.
@@ -1132,7 +1136,7 @@ NNZ_BUCKETS = (8192, 24576, 98304, 393216, 786432, 1572864)
 # that XLA keeps VMEM-resident — measured ~12 ns/index vs ~145 ns/index
 # for a single scatter into the 84 MB whole-GOP dense tensor (each index
 # becomes an HBM RMW once the target exceeds VMEM).
-NNZ_PS_BUCKETS = (16384, 65536, 262144)
+NNZ_PS_BUCKETS = (16384, 65536, 131072, 262144)
 
 
 def _pack_ops3(ops: np.ndarray):
