@@ -89,8 +89,9 @@ def main(argv=None):
                      dump_path=args.dump_path,
                      pipe_y4m=args.pipe_y4m,
                      pipe_wav=args.pipe_wav)
-        # keep stdout clean for the y4m stream when piping to a player
-        out = sys.stderr if args.pipe_y4m == "-" else sys.stdout
+        # keep stdout clean when either A/V stream rides it
+        out = (sys.stderr if "-" in (args.pipe_y4m, args.pipe_wav)
+               else sys.stdout)
         print(json.dumps(stats), file=out)
     elif args.cmd == "batch":
         from .parallel.distributed import run_worker

@@ -944,6 +944,42 @@ def _split_gop_part(q: dict, f0: int, f1: int) -> dict:
                 fbase=q["fbase"] + f0)
 
 
+def _part_dense_arrays(parts: list[dict]) -> tuple:
+    """Host-side dense reconstruction of per-stream parts: the fallback
+    when a SINGLE frame's sparse footprint exceeds the nnz bucket ladder
+    (reachable for maximal-density Wii frames: 1200 MBs x 384 coefs >
+    262144) — mirrors the plan path's dense upload so such frames decode
+    instead of raising.  Returns (ops4 (B,nct,CHUNK,4), coefs, sizes)."""
+    B = len(parts)
+    nct = _bucket(max(q["c1"] - q["c0"] for q in parts), NCT_BUCKETS)
+    ops = np.zeros((B, nct, CHUNK, 4), np.int32)
+    coefs = np.zeros((B, nct * CHUNK, 64), np.int32)
+    sizes = np.full((B, nct * CHUNK), 8, np.int32)
+    for b, q in enumerate(parts):
+        c0, c1 = q["c0"], q["c1"]
+        n = c1 - c0
+        p3 = np.ascontiguousarray(q["ops3"][c0:c1]).view(np.uint32)
+        a, bw = p3[..., 0], p3[..., 1]
+        w0 = a & np.uint32(0x03FFFFFF)
+        w3 = (((a >> np.uint32(26)) & np.uint32(0x3F)) << np.uint32(8)) \
+            | ((bw >> np.uint32(24)) & np.uint32(0xFF))
+        w1 = (bw & np.uint32(0xFFF)) | (((bw >> np.uint32(12))
+                                         & np.uint32(0xFFF))
+                                        << np.uint32(16))
+        o4 = np.stack([w0, w1, p3[..., 2], w3],
+                      axis=-1).view(np.int32)
+        ops[b, :n] = o4
+        if q["fbase"]:
+            ops[b, :n, 0, 1] -= q["fbase"]
+        idx = q["idx"] - c0 * CHUNK * 64
+        coefs[b].reshape(-1)[idx] = q["val"].astype(np.int32)
+        spc = CHUNK // 32
+        bits = np.unpackbits(
+            q["szw"][c0 * spc:c1 * spc].view(np.uint8), bitorder="little")
+        sizes[b, :n * CHUNK][bits[:n * CHUNK] == 1] = 4
+    return ops, coefs.reshape(B, nct, CHUNK, 64), sizes
+
+
 def _assemble_gop_parts(parts: list[dict]) -> tuple:
     """Assemble B per-stream parts into the _decode_gop_fused_sblob blob
     (identical layout to _pack_gop_chunks + _pack_gop_blob_sparse, which
@@ -1556,8 +1592,20 @@ class VmemBatchDecoder:
         if (max(q["c1"] - q["c0"] for q in parts) > NCT_BUCKETS[-1]
                 or max(q["idx"].size for q in parts) > NNZ_PS_BUCKETS[-1]):
             if F <= 1:
-                raise ValueError(
-                    "single frame exceeds fused-GOP dispatch buckets")
+                if max(q["c1"] - q["c0"] for q in parts) > NCT_BUCKETS[-1]:
+                    raise ValueError(
+                        "single frame exceeds fused-GOP chunk buckets")
+                # a lone frame too dense for the sparse format: dense
+                # upload, like the plan path's _pack_gop_blob_sparse=None
+                # fallback
+                import time
+                ops, coefs, sizes = _part_dense_arrays(parts)
+                t1 = time.perf_counter()
+                self.ring, yuv = _decode_gop_fused(
+                    self.ring, jnp.asarray(ops), jnp.asarray(coefs),
+                    jnp.asarray(sizes), F, self.height, self.stride,
+                    self.interpret)
+                return t1, yuv
             mid = F // 2
             _ta, ya = self._dispatch_parts(
                 [_split_gop_part(q, 0, mid) for q in parts])
@@ -1771,7 +1819,9 @@ class VmemVideoDecoder(VmemBatchDecoder):
                 rem = []
                 break
             if done == 0:
-                raise ValueError("frame exceeds native GOP scan caps")
+                # a frame bigger than the native scan caps: the per-packet
+                # plan path below has no such limits — decode the rest there
+                break
         if rem and err is None:
             # native scanner unavailable (or val_overflow): per-packet
             # scan + plan dispatch, dense coefficient rows

@@ -199,6 +199,10 @@ class NativePlanner:
         data = b"".join(packets)
         offs = np.zeros(n + 1, np.int32)
         offs[1:] = np.cumsum([len(pk) for pk in packets])
+        # fresh output buffers per call — np.empty is lazy (pages are
+        # only touched as written), and returning views into REUSED
+        # buffers would alias consecutive scans' results (callers may
+        # hold a result across a later scan, e.g. split-compare flows)
         ops3 = np.empty((self.GOP_NCT_CAP, 256, 3), np.int32)
         szw = np.empty(self.GOP_NCT_CAP * 8, np.int32)
         idx = np.empty(self.GOP_NNZ_CAP, np.int32)

@@ -125,6 +125,7 @@ struct Scanner {
     memcpy(imode, st.imode, sizeof(imode));
   }
   State ckpt;  // caller-visible checkpoint (scanner_checkpoint/rollback)
+  bool has_ckpt = false;
 
   // ---------------------------------------------------------------- bits
   void fill() {  // FillBits (:2988)
@@ -1006,11 +1007,13 @@ void scanner_get_state(void *ctx, uint32_t *quantizer) {
 void scanner_checkpoint(void *ctx) {
   Scanner *s = static_cast<Scanner *>(ctx);
   s->save(s->ckpt);
+  s->has_ckpt = true;
 }
 
 void scanner_rollback(void *ctx) {
   Scanner *s = static_cast<Scanner *>(ctx);
-  s->restore(s->ckpt);
+  if (s->has_ckpt)  // rollback before any checkpoint is a no-op, not UB
+    s->restore(s->ckpt);
 }
 
 }  // extern "C"

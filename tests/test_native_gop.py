@@ -168,3 +168,24 @@ def test_decode_gop_native_path_bit_exact_vs_oracle():
                                   odec.y_planes[0].reshape(-1, S)[:192])
             assert np.array_equal(out[f, b, 192:],
                                   odec.uv_planes[0].reshape(-1, S)[:96])
+
+
+def test_single_frame_dense_fallback(monkeypatch):
+    """A lone frame whose sparse nnz exceeds the bucket ladder must take
+    the dense-upload fallback (reachable for maximal-density Wii frames),
+    not raise.  Forced here by shrinking the ladder; output must stay
+    bit-exact vs the normal sparse path."""
+    from mobiclipdecoder_tpu.ops import vmem_engine as ve
+
+    frames = _gop(1, 3)
+    pkts = [frames[f][0] for f in range(3)]
+
+    ref_dec = VmemVideoDecoder(256, 192, MobiclipVersion.MODS_DS)
+    ref_yuv, _, err = ref_dec.decode_stream_chunk(pkts)
+    assert err is None
+
+    monkeypatch.setattr(ve, "NNZ_PS_BUCKETS", (2,))
+    dec = VmemVideoDecoder(256, 192, MobiclipVersion.MODS_DS)
+    yuv, offs, err = dec.decode_stream_chunk(pkts)
+    assert err is None and yuv.shape[0] == 3
+    np.testing.assert_array_equal(yuv, ref_yuv)

@@ -39,15 +39,11 @@ def main(variants) -> int:
     _hh, G8, SP = ve._geom(H, S)
     SPX = ve._ring_spx(H, S)
 
-    # device-resident args (the probe isolates kernel execution)
-    flat = jnp.asarray(coefs).reshape(B * nct * ve.CHUNK, 64)
-    from mobiclipdecoder_tpu.ops.idct import idct4, idct8
-    r8 = idct8(flat.reshape(-1, 8, 8))
-    r4 = jnp.pad(idct4(flat[:, :16].reshape(-1, 4, 4)),
-                 ((0, 0), (0, 4), (0, 4)))
-    resid = jnp.where(
-        (jnp.asarray(sizes).reshape(-1) == 4)[:, None, None], r4, r8
-    ).reshape(B * nct * ve.CHUNK, 64)
+    # device-resident args (the probe isolates kernel execution); the
+    # residual pre-pass is the engine's own (_residuals handles the
+    # quad-merged size-4 rows)
+    resid = ve._residuals(jnp.asarray(coefs).reshape(B * nct * ve.CHUNK, 64),
+                          jnp.asarray(sizes).reshape(-1))
     d_ops = jnp.asarray(ops).reshape(B * nct * ve.CHUNK, 4)
     ring0 = jnp.zeros((B, 6 * G8, 8, SPX), jnp.int32)
     jax.block_until_ready((d_ops, resid, ring0))
