@@ -104,24 +104,37 @@ def _ring_spx(height: int, stride: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _lut_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One-hot tap-select weights per mode: top-row taps (corner at 0,
-    t[k] at 1+k) and left-column taps (l[k]).  The three operand columns
-    j=0..2 are fused side by side (lane j*256+pix) so ONE matmul per
-    (taps, mode) computes all three operands — small dependent MXU ops are
-    latency-bound, so 6 dots -> 2 is a direct per-op saving."""
-    wt = np.zeros((20, 32, 768), np.float32)
-    wl = np.zeros((20, 16, 768), np.float32)
+def _lut_tables() -> tuple[np.ndarray, np.ndarray]:
+    """Weighted tap-select matrices per mode: top-row taps (corner at 0,
+    t[k] at 1+k) and left-column taps (l[k]).
+
+    The per-pixel combination KINDS fold directly into the weights —
+    COPY/PASS (w0=1), AVG2 ((t1+t2+1)>>1 == floor(.5 t1+.5 t2+.5)), AVG3
+    ((t1+2 t2+t3+2)>>2 == floor(.25 t1+.5 t2+.25 t3+.5)) — so the whole
+    directional prediction is ONE matmul pair + a uniform +0.5 floor (the
+    bias is harmless for COPY: floor(int+0.5) == int).  Weights are sums
+    of {0.25, 0.5, 1} <= 2: exact in bf16, and every product against taps
+    <= 255 is exact too (<= 8 significant bits), with exact f32
+    accumulation.  DC pixels (modes 3/13) carry zero weight and are
+    overridden by the computed dc value in-kernel."""
+    _W = {AVG2: (0.5, 0.5, 0.0), AVG3: (0.25, 0.5, 0.25)}
+    wt = np.zeros((20, 32, 256), np.float32)
+    wl = np.zeros((20, 16, 256), np.float32)
     for mode in range(20):
-        for j in range(3):
-            for pix in range(256):
+        for pix in range(256):
+            kind = int(KIND[mode, pix])
+            if kind == DC:
+                continue
+            ws = _W.get(kind, (1.0, 0.0, 0.0))
+            for j, w in enumerate(ws):
+                if w == 0.0:
+                    continue
                 tap = int(TAPS[mode, pix, j])
                 if tap <= 16:
-                    wt[mode, tap, j * 256 + pix] = 1.0
+                    wt[mode, tap, pix] += w
                 else:
-                    wl[mode, tap - 17, j * 256 + pix] = 1.0
-    return (wt.astype(jnp.bfloat16), wl.astype(jnp.bfloat16),
-            KIND.astype(np.int32))
+                    wl[mode, tap - 17, pix] += w
+    return wt.astype(jnp.bfloat16), wl.astype(jnp.bfloat16)
 
 
 def _bucket(n: int, buckets: tuple[int, ...]) -> int:
@@ -215,8 +228,7 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
             s = jnp.remainder(s, size)
         return pltpu.roll(x, s, axis)
 
-    def kernel(ops_ref, ring_ref, resid_ref, wt_ref, wl_ref, kind_ref,
-               *rest):
+    def kernel(ops_ref, ring_ref, resid_ref, wt_ref, wl_ref, *rest):
         if fused is not None:
             FB, NCT, STAGE = fused
             PACKED = STAGE == 2      # byte-packed VMEM ring (_ring_mode)
@@ -534,16 +546,15 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 trb = trow32.astype(jnp.bfloat16)
                 lrb = lrow.astype(jnp.bfloat16)
                 if "iluts" in _PROBE_SKIP:
-                    pall = jnp.zeros((1, 768), jnp.int32)
+                    pdir = jnp.zeros((1, 256), jnp.int32)
                 else:
-                    pall = (jnp.dot(trb, wt_ref[mode],
+                    # weighted LUT matmuls compute the finished directional
+                    # prediction (kinds folded into weights; floor(x+.5))
+                    pdir = (jnp.dot(trb, wt_ref[mode],
                                     preferred_element_type=jnp.float32)
                             + jnp.dot(lrb, wl_ref[mode],
                                       preferred_element_type=jnp.float32)
-                            ).astype(jnp.int32)
-                p1 = pall[:, :256]
-                p2 = pall[:, 256:512]
-                p3 = pall[:, 512:]
+                            + 0.5).astype(jnp.int32)
                 # --- DC value with edge availability (:1920-2022)
                 npx = jnp.where(size == 4, 4, 8)
                 logn = jnp.where(size == 4, 2, 3)
@@ -561,13 +572,8 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                               jnp.where((avl == 1),
                                         (sum_l + (npx >> 1)) >> logn,
                                         0x80)))
-                kindr = kind_ref[pl.ds(mode, 1), :]
-                pred256 = p1
-                pred256 = jnp.where(kindr == AVG2, (p1 + p2 + 1) >> 1,
-                                    pred256)
-                pred256 = jnp.where(kindr == AVG3,
-                                    (p1 + 2 * p2 + p3 + 2) >> 2, pred256)
-                pred256 = jnp.where(kindr == DC, dc, pred256)
+                is_dc = (mode == 3) | (mode == 13)
+                pred256 = jnp.where(is_dc, dc, pdir)
                 if "ipred" in _PROBE_SKIP:
                     pred16 = jnp.zeros((16, 16), jnp.int32)
                 else:
@@ -725,7 +731,7 @@ def _build_executor(B: int, H: int, S: int, nops: int, nr: int,
     # NOTE: keep the LUTs as host numpy here — the builder is lru_cached and
     # may first run inside a trace; jnp arrays created there would leak
     # tracers into later traces.
-    wt, wl, kind = _lut_tables()
+    wt, wl = _lut_tables()
 
     nchunk = nops // CHUNK
     call = pl.pallas_call(
@@ -740,11 +746,9 @@ def _build_executor(B: int, H: int, S: int, nops: int, nr: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, 64), lambda b, ch: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 32, 768), lambda b, ch: (0, 0, 0),
+            pl.BlockSpec((20, 32, 256), lambda b, ch: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 16, 768), lambda b, ch: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 256), lambda b, ch: (0, 0),
+            pl.BlockSpec((20, 16, 256), lambda b, ch: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((G8, 8, SP), lambda b, ch: (b, 0, 0),
@@ -760,7 +764,7 @@ def _build_executor(B: int, H: int, S: int, nops: int, nr: int,
     )
 
     def run(ops, ring, resid):
-        return call(ops, ring, resid, wt, wl, kind)
+        return call(ops, ring, resid, wt, wl)
 
     return run
 
@@ -791,7 +795,7 @@ def _build_gop_executor(F: int, B: int, H: int, S: int, nct: int,
     stage = _ring_mode(H, S)
     SPX = _ring_spx(H, S)                  # stored-ring lane width
     kernel = _make_kernel(H, S, G8, SP, interpret, fused=(B, nct, stage))
-    wt, wl, kind = _lut_tables()
+    wt, wl = _lut_tables()
     ring_shape = (B, 6 * G8, 8, SPX) if stage else (B * 6 * G8, 8, SPX)
 
     scratch = [
@@ -820,11 +824,9 @@ def _build_gop_executor(F: int, B: int, H: int, S: int, nct: int,
             pl.BlockSpec(memory_space=pltpu.ANY),                   # ring
             pl.BlockSpec((CHUNK, 64), lambda b, ch: (b * nct + ch, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 32, 768), lambda b, ch: (0, 0, 0),
+            pl.BlockSpec((20, 32, 256), lambda b, ch: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 16, 768), lambda b, ch: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, 256), lambda b, ch: (0, 0),
+            pl.BlockSpec((20, 16, 256), lambda b, ch: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -838,7 +840,7 @@ def _build_gop_executor(F: int, B: int, H: int, S: int, nct: int,
 
     def run(ops, ring, resid):
         ring2, frames = call(ops, ring.reshape(ring_shape), resid,
-                             wt, wl, kind)
+                             wt, wl)
         return ring2.reshape(B, 6 * G8, 8, SPX), frames
 
     return run
