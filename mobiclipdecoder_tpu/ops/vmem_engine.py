@@ -538,110 +538,126 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 t16 = a[:1, 1:17]
                 l16 = a[1:17, :1]
 
-                # --- LUT directional prediction (one-hot matmuls)
-                l16f = l16.astype(jnp.float32)
-                lrow = jnp.dot(ones16, l16f * eye16,
-                               preferred_element_type=jnp.float32,
-                               precision=_HP)          # (1,16) transpose
-                trb = trow32.astype(jnp.bfloat16)
-                lrb = lrow.astype(jnp.bfloat16)
-                if "iluts" in _PROBE_SKIP:
-                    pdir = jnp.zeros((1, 256), jnp.int32)
-                else:
-                    # weighted LUT matmuls compute the finished directional
-                    # prediction (kinds folded into weights; floor(x+.5))
-                    pdir = (jnp.dot(trb, wt_ref[mode],
-                                    preferred_element_type=jnp.float32)
-                            + jnp.dot(lrb, wl_ref[mode],
-                                      preferred_element_type=jnp.float32)
-                            + 0.5).astype(jnp.int32)
-                # --- DC value with edge availability (:1920-2022)
-                npx = jnp.where(size == 4, 4, 8)
-                logn = jnp.where(size == 4, 2, 3)
-                # (measured: cross-lane jnp.sum beats tiny MXU dots here —
-                # f32-HIGHEST and bf16 dot variants both benched slower)
-                if "idc" in _PROBE_SKIP:
-                    sum_t = sum_l = 0x80
-                else:
-                    sum_t = jnp.sum(jnp.where(jr1 < npx, t16, 0))
-                    sum_l = jnp.sum(jnp.where(ic1 < npx, l16, 0))
-                dc = jnp.where(
-                    (avt == 1) & (avl == 1),
-                    (sum_t + sum_l + npx) >> (logn + 1),
-                    jnp.where((avt == 1), (sum_t + (npx >> 1)) >> logn,
-                              jnp.where((avl == 1),
-                                        (sum_l + (npx >> 1)) >> logn,
-                                        0x80)))
-                is_dc = (mode == 3) | (mode == 13)
-                pred256 = jnp.where(is_dc, dc, pdir)
-                if "ipred" in _PROBE_SKIP:
-                    pred16 = jnp.zeros((16, 16), jnp.int32)
-                else:
-                    # bf16 exact: pred256 in 0..255, matrices one-hot
-                    predb = rm1_16 * pred256.astype(jnp.bfloat16)
-                    pred16 = jnp.dot(predb, rm2_16,
-                                     preferred_element_type=jnp.float32
-                                     ).astype(jnp.int32)
-
-                # --- plane modes 2/12 + plane16: closed form of the
-                # sub_1167BC/sub_116CCC/sub_117E98 recurrences (:3017-3327)
-                skip_plane = "iplane" in _PROBE_SKIP
-                n16 = size == 16
-                n16i = n16.astype(jnp.int32)
-                if "idc" in _PROBE_SKIP:
-                    tr = bl = 1
-                else:
-                    tr = jnp.sum(jnp.where(jr1 == size - 1, t16, 0))
-                    bl = jnp.sum(jnp.where(ic1 == size - 1, l16, 0))
-                r5 = ((bl + tr + 1) >> 1) + 2 * grad
-                r6 = r5 - bl + n16i
-                r9 = r5 - tr + n16i
-                tsc = jnp.where(size == 4, 4, 8)
-                asc = jnp.where(size == 4, 16, 64)
-                rsh = jnp.where(size == 4, 5, 7)
-                r4i = bl * tsc + (jr1 + 1) * jnp.where(n16, r6 >> 1, r6)
-                bi = jnp.where(n16, r4i - t16 * 8 + 1, r4i - t16 * tsc)
-                bt = jnp.where(n16, bi >> 1, bi)
-                r10 = tr * tsc + (ic1 + 1) * jnp.where(n16, r9 >> 1, r9)
-                r7 = jnp.where(n16, r10 - l16 * 8 + 1, r10 - l16 * tsc)
-                r7t = jnp.where(n16, r7 >> 1, r7)
-                acc = (asc * t16 + (ii16 + 1) * bt
-                       + asc * l16 + (jj16 + 1) * r7t + asc)
-                pout = acc >> rsh
-                # u32 word composition byte aliasing (_store_pred_row)
-                gk = []
-                for k in range(4):
-                    mk = jnp.where((jj16 & 3) == k, pout, 0)
-                    acc_k = mk
-                    for s in range(4):
-                        if s != k:
-                            acc_k = acc_k + roll(mk, s - k, 1)
-                    gk.append(acc_k)
-                word = (gk[0] | (gk[1] << 8) | (gk[2] << 16)
-                        | (gk[3] << 24))
-                b0 = word & 0xFF
-                b1 = jax.lax.shift_right_logical(word, 8) & 0xFF
-                b2 = jax.lax.shift_right_logical(word, 16) & 0xFF
-                b3 = jax.lax.shift_right_logical(word, 24) & 0xFF
-                lane4 = jj16 & 3
-                plane16 = jnp.where(lane4 == 0, b0,
-                                    jnp.where(lane4 == 1, b1,
-                                              jnp.where(lane4 == 2, b2,
-                                                        b3)))
-                is_plane = (mode == 2) | (mode == 12)
-                pred = (pred16 if skip_plane
-                        else jnp.where(is_plane, plane16, pred16))
-
-                # --- optional residual (add-clamp, MinMaxTable semantics)
+                # residual is shared by both prediction branches
                 if "ires" in _PROBE_SKIP:
-                    outb = pred
+                    res16 = jnp.zeros((16, 16), jnp.int32)
                 else:
                     row = resid_ref[pl.ds(w3, 1), :].astype(jnp.float32)
                     res16 = jnp.pad(reshape_res8(row), ((0, 8), (0, 8)))
+
+                def icommit(predv):
                     outb = jnp.where(has == 1,
-                                     jnp.clip(pred + res16, 0, 255), pred)
-                sel = rect(rc24, o + 1, o + 1 + size, cc, cc + size)
-                rmw_commit(jnp.where(sel, place24(outb, cc, o), c24), g)
+                                     jnp.clip(predv + res16, 0, 255),
+                                     predv)
+                    sel = rect(rc24, o + 1, o + 1 + size, cc, cc + size)
+                    rmw_commit(jnp.where(sel, place24(outb, cc, o), c24),
+                               g)
+
+                # the two prediction families are disjoint per op and the
+                # per-op branch is scalar, so each skips the other's whole
+                # chain (measured: the plane closed form costs
+                # ~250-450 ns/intra op and runs on a minority of ops)
+                is_plane = (mode == 2) | (mode == 12)
+
+                @pl.when(jnp.logical_not(is_plane))
+                def _directional():
+                    # --- weighted LUT matmuls give the finished
+                    # directional prediction (kinds folded into weights,
+                    # uniform floor(x+0.5)); DC overrides for modes 3/13
+                    l16f = l16.astype(jnp.float32)
+                    lrow = jnp.dot(ones16, l16f * eye16,
+                                   preferred_element_type=jnp.float32,
+                                   precision=_HP)      # (1,16) transpose
+                    trb = trow32.astype(jnp.bfloat16)
+                    lrb = lrow.astype(jnp.bfloat16)
+                    if "iluts" in _PROBE_SKIP:
+                        pdir = jnp.zeros((1, 256), jnp.int32)
+                    else:
+                        pdir = (jnp.dot(trb, wt_ref[mode],
+                                        preferred_element_type=jnp.float32)
+                                + jnp.dot(lrb, wl_ref[mode],
+                                          preferred_element_type=jnp.float32
+                                          )
+                                + 0.5).astype(jnp.int32)
+                    # --- DC value with edge availability (:1920-2022)
+                    npx = jnp.where(size == 4, 4, 8)
+                    logn = jnp.where(size == 4, 2, 3)
+                    # (measured: cross-lane jnp.sum beats tiny MXU dots
+                    # here — f32-HIGHEST and bf16 dots both slower)
+                    if "idc" in _PROBE_SKIP:
+                        sum_t = sum_l = 0x80
+                    else:
+                        sum_t = jnp.sum(jnp.where(jr1 < npx, t16, 0))
+                        sum_l = jnp.sum(jnp.where(ic1 < npx, l16, 0))
+                    dc = jnp.where(
+                        (avt == 1) & (avl == 1),
+                        (sum_t + sum_l + npx) >> (logn + 1),
+                        jnp.where((avt == 1),
+                                  (sum_t + (npx >> 1)) >> logn,
+                                  jnp.where((avl == 1),
+                                            (sum_l + (npx >> 1)) >> logn,
+                                            0x80)))
+                    is_dc = (mode == 3) | (mode == 13)
+                    pred256 = jnp.where(is_dc, dc, pdir)
+                    if "ipred" in _PROBE_SKIP:
+                        pred16 = jnp.zeros((16, 16), jnp.int32)
+                    else:
+                        # bf16 exact: pred256 in 0..255, matrices one-hot
+                        predb = rm1_16 * pred256.astype(jnp.bfloat16)
+                        pred16 = jnp.dot(predb, rm2_16,
+                                         preferred_element_type=jnp.float32
+                                         ).astype(jnp.int32)
+                    icommit(pred16)
+
+                @pl.when(is_plane)
+                def _plane():
+                    # --- plane modes 2/12 + plane16: closed form of the
+                    # sub_1167BC/sub_116CCC/sub_117E98 recurrences
+                    # (:3017-3327)
+                    n16 = size == 16
+                    n16i = n16.astype(jnp.int32)
+                    tr = jnp.sum(jnp.where(jr1 == size - 1, t16, 0))
+                    bl = jnp.sum(jnp.where(ic1 == size - 1, l16, 0))
+                    r5 = ((bl + tr + 1) >> 1) + 2 * grad
+                    r6 = r5 - bl + n16i
+                    r9 = r5 - tr + n16i
+                    tsc = jnp.where(size == 4, 4, 8)
+                    asc = jnp.where(size == 4, 16, 64)
+                    rsh = jnp.where(size == 4, 5, 7)
+                    r4i = bl * tsc + (jr1 + 1) * jnp.where(n16, r6 >> 1,
+                                                           r6)
+                    bi = jnp.where(n16, r4i - t16 * 8 + 1,
+                                   r4i - t16 * tsc)
+                    bt = jnp.where(n16, bi >> 1, bi)
+                    r10 = tr * tsc + (ic1 + 1) * jnp.where(n16, r9 >> 1,
+                                                           r9)
+                    r7 = jnp.where(n16, r10 - l16 * 8 + 1,
+                                   r10 - l16 * tsc)
+                    r7t = jnp.where(n16, r7 >> 1, r7)
+                    acc = (asc * t16 + (ii16 + 1) * bt
+                           + asc * l16 + (jj16 + 1) * r7t + asc)
+                    pout = acc >> rsh
+                    # u32 word composition byte aliasing (_store_pred_row)
+                    gk = []
+                    for k in range(4):
+                        mk = jnp.where((jj16 & 3) == k, pout, 0)
+                        acc_k = mk
+                        for sft in range(4):
+                            if sft != k:
+                                acc_k = acc_k + roll(mk, sft - k, 1)
+                        gk.append(acc_k)
+                    word = (gk[0] | (gk[1] << 8) | (gk[2] << 16)
+                            | (gk[3] << 24))
+                    b0 = word & 0xFF
+                    b1 = jax.lax.shift_right_logical(word, 8) & 0xFF
+                    b2 = jax.lax.shift_right_logical(word, 16) & 0xFF
+                    b3 = jax.lax.shift_right_logical(word, 24) & 0xFF
+                    lane4 = jj16 & 3
+                    plane16 = jnp.where(
+                        lane4 == 0, b0,
+                        jnp.where(lane4 == 1, b1,
+                                  jnp.where(lane4 == 2, b2, b3)))
+                    icommit(plane16)
 
             if "mc" not in _PROBE_SKIP:
                 pl.when(typ == 1)(_mc)
