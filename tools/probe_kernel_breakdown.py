@@ -14,7 +14,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-VARIANTS = ("base", "mcdma", "rmwdma", "mc", "resid", "intra", "body")
+# current hooks in ops/vmem_engine._PROBE_SKIP; combine with "+"
+VARIANTS = ("base", "mcdma", "rmwdma", "mchroma", "rres", "itaps",
+            "iluts", "idc", "ipred", "ires", "mc", "resid", "intra",
+            "body")
 
 
 def main(variants) -> int:
