@@ -171,8 +171,12 @@ class StreamSynthesizer:
                 if self.rng.random() < 0.5:
                     bw.write_bits(1, 1)
                     mode = self._rand_mode8(btop, bleft)
+                    if btop and bleft and self.rng.random() < 0.15:
+                        mode = 2            # 8x8 plane (sub_116CCC)
                     self._predicted_mode_bits(bw, r5, mode)
                     self.imode[[r5, r5 + 1, r5 + 8, r5 + 9]] = mode
+                    if mode == 2:
+                        bw.write_varint_s(int(self.rng.integers(-8, 9)))
                     self._emit_block_coefs(bw, 8)
                 else:
                     # no explicit flag: the varint's leading zero IS the
@@ -185,15 +189,24 @@ class StreamSynthesizer:
                             (0, 0, btop, bleft), (1, 1, btop, True),
                             (2, 8, True, bleft), (3, 9, True, True)):
                         mode = self._rand_mode4(b4top, b4left)
+                        if b4top and b4left and self.rng.random() < 0.15:
+                            mode = 2        # 4x4 plane (sub_117E98 -> 12)
                         self._predicted_mode_bits(bw, r5 + dr5, mode)
                         self.imode[r5 + dr5] = mode
+                        if mode == 2:
+                            bw.write_varint_s(
+                                int(self.rng.integers(-8, 9)))
                         if (mask >> b4) & 1:
                             self._emit_block_coefs(bw, 4)
             else:
                 # loc_116220: whole 8x8, predicted mode, no residual
                 mode = self._rand_mode8(btop, bleft)
+                if btop and bleft and self.rng.random() < 0.15:
+                    mode = 2                # 8x8 plane, no residual
                 self._predicted_mode_bits(bw, r5, mode)
                 self.imode[[r5, r5 + 1, r5 + 8, r5 + 9]] = mode
+                if mode == 2:
+                    bw.write_varint_s(int(self.rng.integers(-8, 9)))
         # chroma
         bw.write_bits(self._rand_mode8(top, left), 3)
         for bit in (4, 5):
