@@ -82,6 +82,9 @@ def main(argv=None):
         from .runtime.transcode import probe_info
         print(json.dumps(probe_info(args.input)))
     elif args.cmd == "play":
+        if args.pipe_y4m == "-" and args.pipe_wav == "-":
+            p.error("--pipe-y4m and --pipe-wav cannot both be '-': "
+                         "the interleaved streams would corrupt each other")
         from .runtime.transcode import play
         stats = play(args.input, engine=args.engine,
                      realtime=not args.no_pacing,

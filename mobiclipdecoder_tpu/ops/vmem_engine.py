@@ -86,7 +86,12 @@ def _ring_mode(height: int, stride: int) -> int:
     nbytes = 6 * G8 * 8 * SP * 4
     if nbytes <= _VMEM_RING_BUDGET:
         return 1
-    if nbytes // 4 <= _VMEM_RING_BUDGET:
+    # charge mode 2 at the 128-lane-rounded width the staging actually
+    # allocates (_ring_spx), not SP//4 — up to ~66% larger for widths just
+    # above a 128 multiple (a borderline geometry would otherwise pick
+    # mode 2 and oversubscribe VMEM into a Mosaic compile failure)
+    spx_packed = -(-(SP // 4) // 128) * 128
+    if 6 * G8 * 8 * spx_packed * 4 <= _VMEM_RING_BUDGET:
         return 2
     return 0
 

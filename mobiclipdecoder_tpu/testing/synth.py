@@ -15,8 +15,11 @@ mirroring reference MobiEncoder.cs.)
 """
 from __future__ import annotations
 
+import collections
+
 import numpy as np
 
+from ..models.coefvlc import codec_for
 from ..models.oracle_video import MobiclipVersion, _PB_SPLIT
 from ..tables import TABLES
 from ..utils.bitio import BitWriter
@@ -54,7 +57,13 @@ class StreamSynthesizer:
 
     def __init__(self, width: int, height: int,
                  version: MobiclipVersion = MobiclipVersion.MODS_DS,
-                 seed: int = 0):
+                 seed: int = 0, big_levels: float = 0.0):
+        # big_levels: per-coefficient probability of a large (300..2047)
+        # escape-3 level whose dequantized value overflows int16 — forces
+        # the engines' dense coefficient fallback paths (opt-in: real
+        # streams rarely carry such levels, and the sparse upload format
+        # is the representative hot path)
+        self.big_levels = big_levels
         self.w = width
         self.h = height
         self.version = MobiclipVersion(version)
@@ -63,34 +72,45 @@ class StreamSynthesizer:
         self.rng = np.random.default_rng(seed)
         self.frame_idx = 0
         self.quantizer = 0
+        self.table = 0  # coefficient VLC table select (I-frame header bit)
+        # coverage counters (tested by tests/test_format_surface.py):
+        # coefficient kinds per table, half-pel MV components, intra modes
+        self.stats: collections.Counter = collections.Counter()
         # mirror of the decoder's intra-mode prediction cache (bytes 0..36 of
         # Internal; borders stay 9 forever, cells persist across MBs)
         self.imode = np.zeros(40, dtype=np.uint8)
         self.imode[[1, 2, 3, 4, 8, 0x10, 0x18, 0x20]] = 9
 
     # ------------------------------------------------------------ coefficents
-    def _emit_coef_escape3(self, bw: BitWriter, end: int, run: int,
-                           level: int) -> None:
-        """Escape level 3: fully explicit coefficient
-        (prefix 0000011 + 1 + 1, then {end, 6-bit run, 12-bit level};
-        MobiclipDecoder.cs:3391-3405)."""
-        bw.write_bits(0b0000011, 7)
-        bw.write_bits(0b11, 2)
-        bw.write_bits(end, 1)
-        bw.write_bits(run, 6)
-        bw.write_bits(level & 0xFFF, 12)
-
     def _emit_block_coefs(self, bw: BitWriter, n: int) -> None:
-        """Emit a random sparse coefficient block for an n*n DCT (n=4 or 8)."""
+        """Emit a random sparse coefficient block for an n*n DCT (n=4 or 8),
+        cycling through every encoding branch of ReadDCTMatrix
+        (MobiclipDecoder.cs:3330-3432): plain 12-bit table hits, escape 1
+        (+level offset from table B), escape 2 (+run offset from
+        table B[0x80..]) and escape 3 (fully explicit)."""
+        codec = codec_for(self.table)
         ncoef = int(self.rng.integers(1, 5))
         positions = sorted(self.rng.choice(n * n, size=ncoef, replace=False))
         prev = -1
         for i, pos in enumerate(positions):
             run = pos - prev - 1
             prev = pos
-            level = int(self.rng.integers(1, 40)) * \
-                (1 if self.rng.random() < 0.5 else -1)
-            self._emit_coef_escape3(bw, int(i == ncoef - 1), run, level)
+            end = int(i == ncoef - 1)
+            kinds = ["esc3"] + [k for k in ("plain", "esc1", "esc2")
+                                if (end, run) in codec.mags[k]]
+            kind = str(self.rng.choice(kinds))
+            if kind == "esc3":
+                # 12-bit signed level (see big_levels in __init__)
+                if self.rng.random() < self.big_levels:
+                    level = int(self.rng.integers(300, 2048))
+                else:
+                    level = int(self.rng.integers(1, 40))
+            else:
+                level = int(self.rng.choice(codec.mags[kind][(end, run)]))
+            if self.rng.random() < 0.5:
+                level = -level
+            codec.emit(bw, end, run, level, kind=kind)
+            self.stats[f"coef_{kind}_t{self.table}"] += 1
 
     # --------------------------------------------------------------- intra
     def _predicted_mode_bits(self, bw: BitWriter, r5: int, mode: int) -> None:
@@ -109,8 +129,13 @@ class StreamSynthesizer:
             assert 0 <= v <= 7
             bw.write_bits(v, 4)
 
-    def _rand_mode8(self, top: bool, left: bool) -> int:
-        """Pick a legal 8x8 intra mode given neighbor availability."""
+    def _rand_mode8(self, top: bool, left: bool, ar: bool = False) -> int:
+        """Pick a legal 8x8 intra mode given neighbor availability.
+
+        ``ar``: the 7 above-right pixels (vertical-left mode 8 reads up to
+        15 top pixels, MobiclipDecoder.cs:2368-2471) lie inside the frame
+        width — beyond it, flat-plane reads wrap to the next row, which the
+        synthesizer conservatively avoids."""
         cand = [3]
         if top:
             cand += [0]
@@ -118,7 +143,8 @@ class StreamSynthesizer:
             cand += [1, 4]
         if top and left:
             cand += [5, 6, 7]
-        # mode 8 (VL) reads above-right: only allow well inside the frame
+        if top and ar:
+            cand += [8]
         return int(self.rng.choice(cand))
 
     def _emit_intra_full_mb(self, bw: BitWriter, mbx: int, mby: int) -> None:
@@ -131,12 +157,14 @@ class StreamSynthesizer:
             bw.write_bits(2, 3)
             bw.write_varint_s(int(self.rng.integers(-8, 9)))  # Y gradient
         else:
+            # the full-MB mode is 3 bits (0..7; MobiclipDecoder.cs:1762):
+            # mode 8 is only reachable via the sub-MB predicted-mode scheme
             mode = self._rand_mode8(top, left)
             bw.write_bits(mode, 3)
         for bit in range(4):
             if (cbp >> bit) & 1:
                 self._emit_intra8_residual(bw)
-        # chroma (loc_116290)
+        # chroma (loc_116290): also a 3-bit mode
         if use_plane:
             bw.write_bits(2, 3)
             bw.write_varint_s(int(self.rng.integers(-8, 9)))  # U gradient
@@ -162,18 +190,26 @@ class StreamSynthesizer:
     def _emit_intra_sub_mb(self, bw: BitWriter, mbx: int, mby: int) -> None:
         """Inverse of DecIntraSubBlockPMode (MobiclipDecoder.cs:1789)."""
         top, left = mby > 0, mbx > 0
+        # mode 8 (vertical-left) taps above-right pixels: legal for left-half
+        # 8x8s/quads always (taps stay inside this MB's 16 columns), for
+        # right-edge quads only when the frame extends another MB to the
+        # right (taps out to mb_x*16+22 must not wrap past the frame width)
+        right_ok = (mbx + 2) * 16 <= self.w
         cbp = int(self.rng.integers(0, 64))
         bw.write_varint_u(_inv_lut(TABLES["cbp_intra"], cbp))
         for bit, r5, btop, bleft in ((0, 9, top, left), (1, 0xB, top, True),
                                      (2, 0x19, True, left), (3, 0x1B, True, True)):
+            x8 = mbx * 16 + (8 if bit & 1 else 0)
             if (cbp >> bit) & 1:
                 # loc_116368
                 if self.rng.random() < 0.5:
                     bw.write_bits(1, 1)
-                    mode = self._rand_mode8(btop, bleft)
+                    mode = self._rand_mode8(btop, bleft,
+                                            right_ok if bit & 1 else True)
                     if btop and bleft and self.rng.random() < 0.15:
                         mode = 2            # 8x8 plane (sub_116CCC)
                     self._predicted_mode_bits(bw, r5, mode)
+                    self.stats[f"mode8_{mode}"] += 1
                     self.imode[[r5, r5 + 1, r5 + 8, r5 + 9]] = mode
                     if mode == 2:
                         bw.write_varint_s(int(self.rng.integers(-8, 9)))
@@ -188,10 +224,13 @@ class StreamSynthesizer:
                     for b4, dr5, b4top, b4left in (
                             (0, 0, btop, bleft), (1, 1, btop, True),
                             (2, 8, True, bleft), (3, 9, True, True)):
-                        mode = self._rand_mode4(b4top, b4left)
+                        qx = x8 + (4 if b4 & 1 else 0)
+                        mode = self._rand_mode4(b4top, b4left,
+                                                qx + 8 <= self.w)
                         if b4top and b4left and self.rng.random() < 0.15:
                             mode = 2        # 4x4 plane (sub_117E98 -> 12)
                         self._predicted_mode_bits(bw, r5 + dr5, mode)
+                        self.stats[f"mode4_{mode}"] += 1
                         self.imode[r5 + dr5] = mode
                         if mode == 2:
                             bw.write_varint_s(
@@ -200,10 +239,12 @@ class StreamSynthesizer:
                             self._emit_block_coefs(bw, 4)
             else:
                 # loc_116220: whole 8x8, predicted mode, no residual
-                mode = self._rand_mode8(btop, bleft)
+                mode = self._rand_mode8(btop, bleft,
+                                        right_ok if bit & 1 else True)
                 if btop and bleft and self.rng.random() < 0.15:
                     mode = 2                # 8x8 plane, no residual
                 self._predicted_mode_bits(bw, r5, mode)
+                self.stats[f"mode8_{mode}"] += 1
                 self.imode[[r5, r5 + 1, r5 + 8, r5 + 9]] = mode
                 if mode == 2:
                     bw.write_varint_s(int(self.rng.integers(-8, 9)))
@@ -213,8 +254,10 @@ class StreamSynthesizer:
             if (cbp >> bit) & 1:
                 self._emit_intra8_residual(bw)
 
-    def _rand_mode4(self, top: bool, left: bool) -> int:
-        """Legal 4x4 intra mode (0-8 space; +10 applied by the decoder)."""
+    def _rand_mode4(self, top: bool, left: bool, ar: bool = False) -> int:
+        """Legal 4x4 intra mode (0-8 space; +10 applied by the decoder).
+        ``ar``: the above-right taps of mode 8 (decoder mode 18, reading 7
+        top pixels, MobiclipDecoder.cs:2734-2768) are inside the frame."""
         cand = [3]
         if top:
             cand += [0]
@@ -222,6 +265,8 @@ class StreamSynthesizer:
             cand += [1, 4]
         if top and left:
             cand += [5, 6, 7]
+        if top and ar:
+            cand += [8]
         return int(self.rng.choice(cand))
 
     # ------------------------------------------------------------------ MC
@@ -257,8 +302,7 @@ class StreamSynthesizer:
             # and at least one reference frame exists
             dx_lo, dx_hi, dy_lo, dy_hi = self._mv_range(bx, by, w, h)
             if nrefs > 0 and dx_lo <= pred[0] <= dx_hi \
-                    and dy_lo <= pred[1] <= dy_hi and (pred[0] & 1) == 0 \
-                    and (pred[1] & 1) == 0:
+                    and dy_lo <= pred[1] <= dy_hi:
                 code, nbits = _pb_code(w, h, self.profile, 0)
                 bw.write_bits(code, nbits)
                 return pred
@@ -269,15 +313,19 @@ class StreamSynthesizer:
         code, nbits = _pb_code(w, h, self.profile, ref)
         bw.write_bits(code, nbits)
         dx_lo, dx_hi, dy_lo, dy_hi = self._mv_range(bx, by, w, h)
-        # Full-pel deltas (half-pel is covered by dedicated kernel tests).
+        # Any-parity half-pel deltas: odd dx/dy exercise CopyBlock's four
+        # `>>1`-truncating interpolation cases (MobiclipDecoder.cs:418-456)
+        # on luma AND the derived chroma cases at (dx>>1, dy>>1).
         # |delta| <= 100 keeps varints within the 15-bit refill-safe limit;
         # the intersection with the legal box is never empty because the
         # predictor comes from neighboring blocks (<= 34 half-pels away).
-        # All synthesized MVs are even, so the bounds below are even too.
+        # _mv_range leaves a 1-full-pel margin at the high edge, so the
+        # half-pel taps' extra +1 pixel/row reads stay inside the frame.
         xlo, xhi = max(dx_lo, pred[0] - 100), min(dx_hi, pred[0] + 100)
         ylo, yhi = max(dy_lo, pred[1] - 100), min(dy_hi, pred[1] + 100)
-        dx = int(self.rng.integers(xlo // 2, xhi // 2 + 1)) * 2
-        dy = int(self.rng.integers(ylo // 2, yhi // 2 + 1)) * 2
+        dx = int(self.rng.integers(xlo, xhi + 1))
+        dy = int(self.rng.integers(ylo, yhi + 1))
+        self.stats["mv_halfpel"] += (dx & 1) + (dy & 1)
         bw.write_varint_s(dx - pred[0])
         bw.write_varint_s(dy - pred[1])
         return dx, dy
@@ -291,7 +339,11 @@ class StreamSynthesizer:
         bw.write_bits(yuv_format, 1)
         bw.write_bits(table, 1)
         bw.write_bits(quantizer, 6)
-        self.quantizer = quantizer  # (Moflex clamps; keep in [12, 52])
+        self.table = table  # coefficient VLC table for this frame's coefs
+        self.quantizer = quantizer
+        if self.profile == "moflex":
+            # mirror the decoder's QP clamp (MobiclipDecoder.cs:3886-3890)
+            self.quantizer = min(max(self.quantizer, 0xC), 0x34)
         for mby in range(0, self.h // 16):
             for mbx in range(0, self.w // 16):
                 sub = self.rng.random() < 0.4
@@ -309,7 +361,11 @@ class StreamSynthesizer:
         bw = BitWriter()
         bw.write_bits(0, 1)  # not I
         bw.write_varint_s(dq)
-        self.quantizer += dq
+        self.table = 0  # P-frames always use table 0 (MobiclipDecoder.cs:144)
+        if dq != 0:
+            self.quantizer += dq
+            if self.profile == "moflex":
+                self.quantizer = min(max(self.quantizer, 0xC), 0x34)
         nrefs = min(self.frame_idx, 5)
         # mirror of the decoder's rolling MV cache (Internal[221..])
         ncols = (self.w + 0x20 + 15) // 16

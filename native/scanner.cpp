@@ -253,7 +253,7 @@ struct Scanner {
     PlanSink *k = sink;
     int32_t *c = k->g_ops3 + size_t(k->g_nct - 1) * kChunk * 3;
     c[0] = k->g_row - 1;                 // A: w0 = count (w3 = last < 256)
-    c[1] = k->g_frame | (last << 24);    // B: rr = frame, cc = 0
+    c[1] = int32_t(uint32_t(k->g_frame) | (uint32_t(last) << 24));  // B: rr = frame, cc = 0
     c[2] = k->g_first;                   // C: w2 = first flag
   }
   void g_emit(int32_t w0, int32_t rr, int32_t cc, int32_t w2) {
@@ -287,7 +287,7 @@ struct Scanner {
     int32_t *r = k->g_ops3
         + (size_t(k->g_nct - 1) * kChunk + size_t(k->g_row)) * 3;
     r[0] = w0;
-    r[1] = rr | (cc << 12) | (w3 << 24);
+    r[1] = int32_t(uint32_t(rr) | (uint32_t(cc) << 12) | (uint32_t(w3) << 24));
     r[2] = w2;
     k->g_row++;
   }

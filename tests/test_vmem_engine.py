@@ -289,9 +289,10 @@ def test_vmem_packed_ring_matches_oracle(monkeypatch):
     4-px/word packed ring fits) must stay bit-exact vs the oracle — MC
     windows unpack via interleave matmuls, commits pack via paired bf16
     matmuls.  Budget patched so a small unique geometry (96x64: 1.18 MiB
-    int32 ring, 295 KiB packed) lands in mode 2 like real 640x480."""
+    int32 ring, 384 KiB packed at the 128-lane-rounded staging width)
+    lands in mode 2 like real 640x480."""
     from mobiclipdecoder_tpu.ops import vmem_engine as ve
-    monkeypatch.setattr(ve, "_VMEM_RING_BUDGET", 300 * 1024)
+    monkeypatch.setattr(ve, "_VMEM_RING_BUDGET", 600 * 1024)
     W, H = 96, 64
     v = MobiclipVersion.MOFLEX_3DS
     assert ve._ring_mode(H, 256) == 2
