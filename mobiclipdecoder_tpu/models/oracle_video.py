@@ -163,16 +163,21 @@ class OracleDecoder:
         return val
 
     def _varint_s(self) -> int:
-        """ReadVarIntSigned (MobiclipDecoder.cs:2998)."""
+        """ReadVarIntSigned (MobiclipDecoder.cs:2998).
+
+        The C# computes in a wrapping 32-bit int; for format-legal varints
+        (~15 bits) that never matters, but a degenerate 31-zero prefix makes
+        `r6 += 1 << r10` overflow — mirror the wrap exactly so malformed
+        streams decode identically."""
         r3 = self._r3
         n = 32 - r3.bit_length()
         r3 = (r3 << (n & 31)) & _M32
         r3 = (r3 << 1) & _M32
         sh = 32 - n
         val = 0 if sh == 32 else r3 >> sh
-        val += 1 << (n & 31)
+        val = _s32((val + (1 << (n & 31))) & _M32)
         if val & 1:
-            val = 1 - val
+            val = _s32((1 - val) & _M32)
         val >>= 1
         self._r3 = (r3 << (n & 31)) & _M32
         self._nb -= 2 * n + 1

@@ -153,7 +153,12 @@ class NativePlanner:
         ops = np.zeros((n + 1, 4), np.int32)
         ops[0, 0] = n
         ops[1:] = uops[:n]
-        k = max(k, 1)
+        if k == 0:
+            # no coefficient rows: mirror pack_unified's zero placeholder
+            # (the buffers are np.empty — row 0 would be garbage)
+            ucoef[0] = 0
+            usize[0] = 0
+            k = 1
         return dict(ops=ops, coefs=ucoef[:k].copy(),
                     sizes=usize[:k].copy())
 

@@ -130,8 +130,13 @@ struct Scanner {
   // ---------------------------------------------------------------- bits
   void fill() {  // FillBits (:2988)
     if (offset >= len) return;
-    // mirror C# ReadU16LE's exception on an odd tail by just not refilling
-    if (offset + 1 >= len) { offset = len; return; }
+    // odd tail: C# ReadU16LE throws reading data[offset+1] — mirror the
+    // oracle's IndexError by flagging the stream malformed
+    if (offset + 1 >= len) {
+      offset = len;
+      if (sink) sink->bad = true;
+      return;
+    }
     uint32_t w = data[offset] | (data[offset + 1] << 8);
     offset += 2;
     nb += 16;
@@ -155,18 +160,20 @@ struct Scanner {
     return val;
   }
   int32_t varint_s() {  // ReadVarIntSigned (:2998)
+    // wrapping 32-bit int arithmetic exactly as the C# (a degenerate
+    // 31-zero prefix overflows `r6 += 1 << r10` there; see the oracle)
     int n = clz(r3);
     uint32_t v = r3 << (n & 31);
     v <<= 1;
     int sh = 32 - n;
-    int64_t val = (sh == 32) ? 0 : (v >> sh);
-    val += int64_t(1) << (n & 31);
-    if (val & 1) val = 1 - val;
+    uint32_t base = (sh == 32) ? 0 : (v >> sh);
+    int32_t val = int32_t(base + (uint32_t(1) << (n & 31)));
+    if (val & 1) val = int32_t(uint32_t(1) - uint32_t(val));
     val >>= 1;
     r3 = v << (n & 31);
     nb -= 2 * n + 1;
     if (nb < 0) fill();
-    return int32_t(val);
+    return val;
   }
 
   // ----------------------------------------------------------- quantizer
@@ -454,9 +461,20 @@ struct Scanner {
   // ----------------------------------------------------------- residuals
   // returns last scan cursor; fills dense[n*n]
   int read_dct(int n, int32_t *dense) {  // ReadDCTMatrix (:3330)
-    memset(dense, 0, n * n * 4);
-    const std::vector<int32_t> &ta = t.coef_a[internal[218] & 1];
-    const std::vector<int32_t> &tb = t.coef_b[internal[218] & 1];
+    // The reference decodes INTO Internal[90+pos] (:3424-3429) with pos up
+    // to 255 — out-of-block positions land in the IDCT workspace, the
+    // table-select byte [218] and the MV cache, and a large skip can walk
+    // r12 into [90..] and read back freshly written coefficient words.
+    // Mirror that exactly (the Python oracle does): coefficients live in
+    // internal[90..], dense[] is extracted afterwards.
+    memset(dense, 0, n * n * 4);  // stays zero on the bad-stream early-out
+    for (int i = 0; i < n * n; i++) internal[90 + i] = 0;
+    // table select is == 1 exactly (MobiclipDecoder.cs:3332-3333): the
+    // cell can be corrupted to arbitrary values by out-of-range
+    // coefficient writes, and only the literal value 1 selects table 1
+    const int tsel = (internal[218] == 1) ? 1 : 0;
+    const std::vector<int32_t> &ta = t.coef_a[tsel];
+    const std::vector<int32_t> &tb = t.coef_b[tsel];
     int r12 = (n == 8) ? 10 : 74;
     while (true) {
       int end = 0, skip = 0;
@@ -519,9 +537,11 @@ struct Scanner {
       uint32_t packed = internal[r12++];
       int pos = packed & 0xFF;
       int32_t scale = int32_t(packed >> 8);
-      if (pos < n * n) dense[pos] = scale * value;
-      if (end) return r12;
+      internal[90 + pos] = uint32_t(int64_t(scale) * value);
+      if (end) break;
     }
+    for (int i = 0; i < n * n; i++) dense[i] = int32_t(internal[90 + i]);
+    return r12;
   }
 
   // ------------------------------------------------------------ intra MBs
@@ -1014,6 +1034,13 @@ void scanner_rollback(void *ctx) {
   Scanner *s = static_cast<Scanner *>(ctx);
   if (s->has_ckpt)  // rollback before any checkpoint is a no-op, not UB
     s->restore(s->ckpt);
+}
+
+// Debug/fuzz aid: copy the 392-word internal state (dequant tables,
+// table select, MV cache) out of the context.
+void scanner_debug_internal(void *ctx, int32_t *out392) {
+  Scanner *s = static_cast<Scanner *>(ctx);
+  for (int i = 0; i < 392; i++) out392[i] = int32_t(s->internal[i]);
 }
 
 }  // extern "C"
