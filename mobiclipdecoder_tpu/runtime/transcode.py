@@ -59,6 +59,15 @@ def _decode_contained(dec, pkt: bytes):
         return prev[:H], prev[H:], len(pkt), True
 
 
+
+def _uv_halves(uv: np.ndarray, W: int, S: int) -> tuple[np.ndarray, np.ndarray]:
+    """U/V halves of a packed UV slab in either layout: full-stride rows
+    (U at [0,S/2), V at [S/2,S/2+W/2)) or the device-cropped rows the VMEM
+    engine produces with crop=True (U|V adjacent in [0,W))."""
+    if uv.shape[1] == S:
+        return uv[:, :W // 2], uv[:, S // 2:S // 2 + W // 2]
+    return uv[:, :W // 2], uv[:, W // 2:W]
+
 def width_stride(width: int) -> int:
     """Reference stride policy (MobiclipDecoder.cs:50-52)."""
     return 256 if width <= 256 else (512 if width <= 512 else 1024)
@@ -74,7 +83,9 @@ def _make_video_decoder(width: int, height: int, version: MobiclipVersion,
         # ring exceeds VMEM, automatically route through its fused kernel's
         # HBM-ring mode (VmemBatchDecoder._ring_hbm).
         from ..ops.vmem_engine import VmemVideoDecoder
-        return VmemVideoDecoder(width, height, version)
+        # crop=True: results come back at frame width (U|V adjacent) —
+        # 22-37.5%% smaller downloads at 400x240/640x480 (fetch-bound link)
+        return VmemVideoDecoder(width, height, version, crop=True)
     if engine == "tpu-xla":
         # the wavefront XLA engine (mesh-shardable; slower single-chip)
         from ..models.pipeline import JaxVideoDecoder
@@ -169,8 +180,8 @@ def decode_mods(data: bytes, engine: str = "oracle") -> Iterator[DecodedFrame]:
         fr = DecodedFrame(
             index=state["frame_idx"],
             y=y[:H, :W].copy(),
-            u=uv[:H // 2, :W // 2].copy(),
-            v=uv[:H // 2, S // 2:S // 2 + W // 2].copy(),
+            u=_uv_halves(uv[:H // 2], W, S)[0].copy(),
+            v=_uv_halves(uv[:H // 2], W, S)[1].copy(),
             keyframe=is_key, pcm=pcm, corrupt=corrupt)
         state["frame_idx"] += 1
         return fr
@@ -463,8 +474,8 @@ def decode_moflex(data: bytes, engine: str = "oracle",
         W, H, S = state["W"], state["H"], state["S"]
         out_frames.append(DecodedFrame(
             index=state["idx"], y=y[:H, :W].copy(),
-            u=uv[:H // 2, :W // 2].copy(),
-            v=uv[:H // 2, S // 2:S // 2 + W // 2].copy(),
+            u=_uv_halves(uv[:H // 2], W, S)[0].copy(),
+            v=_uv_halves(uv[:H // 2], W, S)[1].copy(),
             keyframe=False, pcm=pcm, corrupt=corrupt))
         state["idx"] += 1
 
@@ -591,8 +602,8 @@ def _chunked_video_frames(dec, packets, W: int, H: int,
         nonlocal idx
         fr = DecodedFrame(
             index=idx, y=y[:H, :W].copy(),
-            u=uv[:H // 2, :W // 2].copy(),
-            v=uv[:H // 2, S // 2:S // 2 + W // 2].copy(),
+            u=_uv_halves(uv[:H // 2], W, S)[0].copy(),
+            v=_uv_halves(uv[:H // 2], W, S)[1].copy(),
             keyframe=(idx == 0),
             pcm=(pcms[idx] if pcms is not None else None),
             corrupt=corrupt)

@@ -335,3 +335,25 @@ def test_vmem_fused_gop_split_on_chunk_overflow(monkeypatch):
     monkeypatch.setattr(ve, "NCT_BUCKETS", (4,))  # force a split
     got = a.decode_gop(frames, fused=True)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_device_crop_matches_host_crop():
+    """crop=True fused results must equal the host-side crop of the
+    full-stride result: Y columns [0,W), then U|V repacked adjacent."""
+    W, H = 64, 48
+    v = MobiclipVersion.MODS_DS
+    synths = [StreamSynthesizer(W, H, v, seed=s) for s in (71, 72)]
+    frames = [[s.iframe(0x18) if f == 0 else s.pframe() for s in synths]
+              for f in range(3)]
+    a = VmemBatchDecoder(W, H, v, batch=2, interpret=True, native=False)
+    b = VmemBatchDecoder(W, H, v, batch=2, interpret=True, native=False,
+                         crop=True)
+    full = a.decode_gop(frames, fused=True)          # (F, B, HH, S)
+    cropped = b.decode_gop(frames, fused=True)       # (F, B, HH, W)
+    S = a.stride
+    assert cropped.shape[-1] == W
+    np.testing.assert_array_equal(cropped[:, :, :H], full[:, :, :H, :W])
+    np.testing.assert_array_equal(cropped[:, :, H:, :W // 2],
+                                  full[:, :, H:, :W // 2])
+    np.testing.assert_array_equal(cropped[:, :, H:, W // 2:],
+                                  full[:, :, H:, S // 2:S // 2 + W // 2])
