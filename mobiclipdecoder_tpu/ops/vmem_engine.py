@@ -1196,6 +1196,34 @@ def decode_round_sharded(mesh, ring, ops, coefs, sizes, H: int, S: int,
     return _sharded_round(mesh, H, S, interpret)(ring, ops, coefs, sizes)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_gop_fused(mesh, F: int, H: int, S: int, interpret: bool):
+    """shard_map'd fused whole-GOP decode — the PRODUCTION dispatch shape
+    (one kernel launch per GOP, modular ring slots) split over the mesh's
+    'data' axis.  Every argument and result carries the stream batch as a
+    leading/inner axis, so the specs are plain data-parallel splits and no
+    collectives cross ICI (streams are independent)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(ring, ops, coefs, sizes):
+        return _decode_gop_fused(ring, ops, coefs, sizes, F, H, S, interpret)
+
+    # check_vma=False: see _sharded_round
+    sm = shard_map(fn, mesh=mesh,
+                   in_specs=(P("data"), P("data"), P("data"), P("data")),
+                   out_specs=(P("data"), P(None, "data")), check_vma=False)
+    return jax.jit(sm, donate_argnums=(0,))
+
+
+def decode_gop_fused_sharded(mesh, ring, ops, coefs, sizes, F: int, H: int,
+                             S: int, interpret: bool):
+    """Multi-device fused GOP (B divisible by the data-axis size).
+    Returns (ring, yuv (F, B, HH, S)) like _decode_gop_fused."""
+    return _sharded_gop_fused(mesh, F, H, S, interpret)(ring, ops, coefs,
+                                                        sizes)
+
+
 # Sparse-upload buckets: nonzero dequantized coefficients per frame round
 # (whole stream batch).  Measured ~17k on the bench workload; the dense
 # (B, NR, 64) int32 tensor they reconstruct is ~2.1 MB vs ~150 KB sparse —

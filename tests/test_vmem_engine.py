@@ -357,3 +357,32 @@ def test_device_crop_matches_host_crop():
                                   full[:, :, H:, :W // 2])
     np.testing.assert_array_equal(cropped[:, :, H:, W // 2:],
                                   full[:, :, H:, S // 2:S // 2 + W // 2])
+
+
+def test_fused_gop_sharded_matches_unsharded():
+    """The shard_map'd FUSED whole-GOP path (the production dispatch shape)
+    over an 8-device CPU mesh must equal the single-device fused result."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from mobiclipdecoder_tpu.ops.vmem_engine import (
+        _decode_gop_fused, _pack_gop_chunks, decode_gop_fused_sharded)
+
+    W, H = 64, 48
+    v = MobiclipVersion.MODS_DS
+    B, F = 8, 3
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    synths = [StreamSynthesizer(W, H, v, seed=100 + s) for s in range(B)]
+    frames = [[s.iframe(0x18) if f == 0 else s.pframe() for s in synths]
+              for f in range(F)]
+    bd = VmemBatchDecoder(W, H, v, batch=B, interpret=True, native=False)
+    plans_fb = [bd._scan_all(fp) for fp in frames]
+    ops, coefs, sizes = _pack_gop_chunks(plans_fb, B)
+    args = (jnp.asarray(ops), jnp.asarray(coefs), jnp.asarray(sizes))
+    ring_a = jnp.zeros_like(bd.ring)
+    ring_b = jnp.zeros_like(bd.ring)
+    ring_a, ya = _decode_gop_fused(ring_a, *args, F, H, bd.stride, True)
+    ring_b, yb = decode_gop_fused_sharded(mesh, ring_b, *args, F, H,
+                                          bd.stride, True)
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+    np.testing.assert_array_equal(np.asarray(ring_a), np.asarray(ring_b))
