@@ -221,6 +221,8 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
     HMASK = 0xFFFF
 
     def roll(x, s, axis):
+        if "rolls" in _PROBE_SKIP and not isinstance(s, int):
+            return x  # probe: cost attribution of DYNAMIC rolls
         if interpret:
             return jnp.roll(x, s, axis)
         # pltpu.roll requires non-negative shifts
@@ -842,7 +844,7 @@ def _build_gop_executor(F: int, B: int, H: int, S: int, nct: int,
         in_specs=[
             pl.BlockSpec((CHUNK, 4), lambda b, ch: (b * nct + ch, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),                   # ring
+            pl.BlockSpec(memory_space=pl.ANY),                   # ring
             pl.BlockSpec((CHUNK, 64), lambda b, ch: (b * nct + ch, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((20, 32, 256), lambda b, ch: (0, 0, 0),
@@ -851,8 +853,8 @@ def _build_gop_executor(F: int, B: int, H: int, S: int, nct: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         input_output_aliases={1: 0},
         scratch_shapes=scratch,
