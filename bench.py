@@ -241,6 +241,46 @@ def main() -> int:
     except Exception as e:  # surfaced in the JSON, not swallowed
         wii_error = repr(e)
 
+    # Cropped end-to-end at the two stride-padded geometries: the device
+    # crops Y to frame width and repacks U|V adjacent before download
+    # (VmemBatchDecoder crop=True), cutting the fetch-bound transfer by
+    # 21.9% at 400x240 (stride 512) and 37.5% at 640x480 (stride 1024).
+    e2e_3ds = None
+    e2e_wii = None
+    try:
+        B3, F3 = 4, 12
+        syn3 = [StreamSynthesizer(400, 240, MobiclipVersion.MOFLEX_3DS,
+                                  seed=b) for b in range(B3)]
+        gop3 = [[s.iframe(0x18) if f == 0 else s.pframe() for s in syn3]
+                for f in range(F3)]
+        bd3 = VmemBatchDecoder(400, 240, MobiclipVersion.MOFLEX_3DS,
+                               batch=B3, crop=True)
+        list(bd3.decode_gops(iter([gop3])))            # warm/compile
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            got = 0
+            for arr in bd3.decode_gops(gop3 for _ in range(3)):
+                got += arr.shape[0] * arr.shape[1]
+            best = max(best, got / (time.perf_counter() - t0))
+        e2e_3ds = round(best, 2)
+    except Exception as e:
+        e2e_3ds = repr(e)
+    try:
+        bdw2 = VmemBatchDecoder(640, 480, MobiclipVersion.MOFLEX_3DS,
+                                batch=WB, crop=True)
+        list(bdw2.decode_gops(iter([wframes])))        # warm
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            got = 0
+            for arr in bdw2.decode_gops(wframes for _ in range(2)):
+                got += arr.shape[0] * arr.shape[1]
+            best = max(best, got / (time.perf_counter() - t0))
+        e2e_wii = round(best, 2)
+    except Exception as e:
+        e2e_wii = repr(e)
+
     baseline_fps = 24.0  # realtime DS playback, single-threaded C# reference
     print(json.dumps({
         "metric": "mods_256x192_device_decode_fps_per_chip",
@@ -256,6 +296,8 @@ def main() -> int:
         "e2e_fps": round(e2e, 2),
         "e2e_sustained_fps": round(e2e_sustained, 2),
         "wii_640x480_fps": fps_wii,
+        "e2e_400x240_cropped_fps": e2e_3ds,
+        "wii_e2e_cropped_fps": e2e_wii,
         **({"wii_error": wii_error} if wii_error else {}),
         "compile_s": round(t_compile + t_compile_f, 1),
         "device": str(jax.devices()[0]),
