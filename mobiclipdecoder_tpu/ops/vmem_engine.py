@@ -173,6 +173,41 @@ def _chunk_ops(ops_arr: np.ndarray, bucket: int) -> np.ndarray:
 
 
 
+def _btf8_ax0(c):
+    """8-point butterfly along axis 0 of (8, ..., N) int32 — same
+    shift-add dataflow as ops/idct.py _btf8 (MobiclipDecoder.cs:3450-3505),
+    laid out with the batch on the LANE axis for full VPU utilization."""
+    r0, r1, r2, r3, r4, r5, r6, r7 = (c[k] for k in range(8))
+    a0 = r0 + r4
+    a1 = r0 - r4
+    b0 = r2 + (r6 >> 1)
+    b1 = (r2 >> 1) - r6
+    e2 = a1 + b1
+    e4 = a1 - b1
+    e6 = a0 - b0
+    e0 = a0 + b0
+    o0 = r1 + r7 - r3 - (r3 >> 1)
+    o1 = r7 - r1 + r5 + (r5 >> 1)
+    o2 = r5 - r7 - (r7 >> 1) - r3
+    o3 = r3 + r5 + r1 + (r1 >> 1)
+    f1 = o2 + (o3 >> 2)
+    f7 = o3 - (o2 >> 2)
+    f3 = o0 + (o1 >> 2)
+    f5 = (o0 >> 2) - o1
+    return jnp.stack([e0 + f7, e2 + f5, e4 + f3, e6 + f1,
+                      e6 - f1, e4 - f3, e2 - f5, e0 - f7], axis=0)
+
+
+def _btf4_ax0(c):
+    """4-point butterfly along axis 0 (IDCT16Px4, :3728-3784)."""
+    r0, r1, r2, r3 = (c[k] for k in range(4))
+    e0 = r0 + r2
+    e1 = r0 - r2
+    o1 = (r1 >> 1) - r3
+    o0 = r1 + (r3 >> 1)
+    return jnp.stack([e0 + o0, e1 + o1, e1 - o1, e0 - o0], axis=0)
+
+
 def _residuals(flat, sizes_flat):
     """IDCT pre-pass shared by every decode path.
 
@@ -183,12 +218,32 @@ def _residuals(flat, sizes_flat):
     rows are the degenerate q0-only case, and empty quadrants IDCT to
     zero, so an absent sub-block leaves its pixels untouched through the
     kernel's clip(cur + 0) identity).  Returns (N, 64) rows whose (8,8)
-    view is the spatial residual."""
-    r8 = idct8(flat.reshape(-1, 8, 8))
-    q = idct4(flat.reshape(-1, 4, 4))
-    rq = q.reshape(-1, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4).reshape(-1, 8, 8)
-    resid = jnp.where((sizes_flat == 4)[:, None, None], rq, r8)
-    return resid.reshape(-1, 64)
+    view is the spatial residual.
+
+    Layout: the row axis rides the VPU LANES ((64, N) transposed form) —
+    the previous (N, 8, 8) form used 8 of 128 lanes and cost ~9 ms/GOP
+    at Wii scale, ~half the fused path's XLA prologue."""
+    N = flat.shape[0]
+    xT = flat.T                              # (64, N)
+    # --- 8x8: coefficient rows (8r, 8c, N); butterfly over coef cols,
+    # transpose-free axis swap, second pass, >>6 (idct8's dataflow)
+    c8 = xT.reshape(8, 8, N).at[0, 0].add(32)
+    t8 = _btf8_ax0(jnp.swapaxes(c8, 0, 1))   # (8out_c, 8r, N)
+    d8 = _btf8_ax0(jnp.swapaxes(t8, 0, 1))   # (8out_r?, 8c, N)
+    r8 = jnp.swapaxes(d8, 0, 1) >> 6         # (8r, 8c, N) spatial
+    # --- 4x4 quads: [q0|q1|q2|q3] slots -> (4q, 4r, 4c, N); +32 DC
+    # rounding applies to EVERY quad's [0,0]
+    c4 = xT.reshape(4, 4, 4, N).at[:, 0, 0].add(32)
+    tq = _btf4_ax0(jnp.moveaxis(c4, 2, 0))   # (4out_c, 4q, 4r, N)
+    dq = _btf4_ax0(jnp.moveaxis(tq, 2, 0))   # (4out_r, 4out_c, 4q, N)
+    # (q, out_c, out_r, N): mirror idct4's output orientation (the full
+    # path's output block index is [transformed_coef, transformed_row])
+    rq4 = jnp.moveaxis(dq, 2, 0).swapaxes(1, 2) >> 6
+    # assemble quads: spatial row = (q>>1)*4 + out_c, col = (q&1)*4 + out_r
+    rq = rq4.reshape(2, 2, 4, 4, N).transpose(0, 2, 1, 3, 4) \
+        .reshape(8, 8, N)
+    resid = jnp.where((sizes_flat == 4)[None, None, :], rq, r8)
+    return resid.transpose(2, 0, 1).reshape(N, 64)
 
 
 # ===================================================================== kernel
@@ -677,7 +732,7 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
         if "body" not in _PROBE_SKIP:
             jax.lax.fori_loop(1, 1 + ops_ref[0, 0], body, 0)
 
-        if fused is not None:
+        if fused is not None and "fcommit" not in _PROBE_SKIP:
             @pl.when(last == 1)
             def _commit():
                 # finished frame -> its ring slot (5 - f) mod 6 (row-group
