@@ -535,18 +535,22 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                     copy_groups(ring_src, gc, winc, 2)
                 w16 = jnp.concatenate([winc[0], winc[1]], axis=0)
                 wr = roll(w16, -(cyb & 7), 0)
+                # ONE dynamic roll serves both chroma halves: after
+                # rolling to the U window base, the V window sits at the
+                # STATIC +S/2 offset (ccv - ccu = S/2; in the packed word
+                # domain (x + S/2) >> 2 == (x >> 2) + S/8 exactly and the
+                # sub-word shift x & 3 is identical since S/2 % 4 == 0)
+                xu = ccu + (cdx >> 1)
                 if PACKED:
-                    def cwin(x):
-                        # 4 words (16 px >= 3+9) around column x
-                        wq = roll(wr, -(x >> 2), 1)
-                        return unpack_words(wq[:, :4], 4, x & 3)
-                    pxu = halfpel(cwin(ccu + (cdx >> 1)), 8, cdx, cdy)
-                    pxv = halfpel(cwin(ccv + (cdx >> 1)), 8, cdx, cdy)
+                    wq = roll(wr, -(xu >> 2), 1)
+                    pxu = halfpel(unpack_words(wq[:, :4], 4, xu & 3), 8,
+                                  cdx, cdy)
+                    pxv = halfpel(unpack_words(wq[:, S // 8:S // 8 + 4],
+                                               4, xu & 3), 8, cdx, cdy)
                 else:
-                    pxu = halfpel(roll(wr, -(ccu + (cdx >> 1)), 1), 8,
-                                  cdx, cdy)
-                    pxv = halfpel(roll(wr, -(ccv + (cdx >> 1)), 1), 8,
-                                  cdx, cdy)
+                    wru = roll(wr, -xu, 1)
+                    pxu = halfpel(wru, 8, cdx, cdy)
+                    pxv = halfpel(wru[:, S // 2:], 8, cdx, cdy)
                 basec = cy - 1
                 g2 = basec >> 3
                 o2 = basec & 7
