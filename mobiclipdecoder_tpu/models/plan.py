@@ -90,6 +90,49 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
     rows: list[tuple[int, int, int, int]] = []
     coefs: list[np.ndarray] = []
     sizes: list[int] = []
+    # MC+residual fusion peephole: an unsplit inter MB is one 16x16 MC op
+    # followed by its <=6 residual emissions (cbp bits 0..3 luma quads,
+    # 4 U, 5 V) — the residual rows attach to the MC op (w0 bits 3..8 =
+    # mask, w3 = first row; rows are consecutive by construction) and emit
+    # NO op row of their own.  Exactness-safe: nothing reads the plane
+    # between an MB's MC and its residuals, and the kernel's
+    # clip(px + res) equals the two-op sequence pixel-for-pixel.
+    fuse = {"idx": -1, "y": -1, "x": -1, "last": -1, "n": 0}
+
+    def try_fuse(pid, ry, rx, k) -> bool:
+        if fuse["idx"] < 0:
+            return False
+        fy, fx = fuse["y"], fuse["x"]
+        if pid == 0:
+            if ry not in (fy, fy + 8) or rx not in (fx, fx + 8):
+                fuse["idx"] = -1
+                return False
+            bit = ((ry - fy) >> 3) * 2 + ((rx - fx) >> 3)
+        else:
+            if ry != fy >> 1:
+                fuse["idx"] = -1
+                return False
+            if rx == fx >> 1:
+                bit = 4
+            elif rx == (fx >> 1) + S // 2:
+                bit = 5
+            else:
+                fuse["idx"] = -1
+                return False
+        if bit <= fuse["last"]:
+            fuse["idx"] = -1
+            return False
+        i = fuse["idx"]
+        w0, w1, w2, w3 = rows[i]
+        if fuse["n"] == 0:
+            w3 = k
+        elif k != w3 + fuse["n"]:
+            fuse["idx"] = -1
+            return False
+        rows[i] = (w0 | (1 << (3 + bit)), w1, w2, w3)
+        fuse["last"] = bit
+        fuse["n"] += 1
+        return True
     # quad-merge peephole state: consecutive 4x4 residuals of one 8x8
     # fold into a single size-8-region op whose coefficient row holds the
     # sub-blocks in quadrant slots [q0|q1|q2|q3] (the _residuals pre-pass
@@ -119,12 +162,16 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
             coefs[k][16 * b:16 * b + 16] = \
                 np.asarray(dense, np.int32).ravel()
             quad.update(key=key, row=k, b=b)
+            if try_fuse(pid, y & ~7, x & ~7, k):
+                return
             w0 = OP_RESID | (_SIZE_LOG[8] << 2)
             rr = mr + (y & ~7) + (H if pid else 0)
             rows.append((w0, rr | ((mcol + (x & ~7)) << 16), 0, k))
             return
         quad["key"] = None
         k = coef_row(dense, size)
+        if size == 8 and try_fuse(pid, y, x, k):
+            return
         w0 = OP_RESID | (_SIZE_LOG[size] << 2)
         rr = mr + y + (H if pid else 0)
         rows.append((w0, rr | ((mcol + x) << 16), 0, k))
@@ -139,11 +186,16 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
             w2 = (dx & 0xFFFF) | ((dy & 0xFFFF) << 16)
             if w2 >= 1 << 31:
                 w2 -= 1 << 32
+            if w == 16 and h == 16:
+                fuse.update(idx=len(rows), y=y, x=x, last=-1, n=0)
+            else:
+                fuse["idx"] = -1
             rows.append((w0, (mr + y) | ((mcol + x) << 16), w2, 0))
         elif kind == "resid":
             _, pid, y, x, size, (dense, _last) = op
             emit_resid(pid, y, x, size, dense)
         else:  # intra
+            fuse["idx"] = -1
             _, pid, y, x, size, mode, grad, cf = op
             if mode in (9, 19):
                 if cf is not None:

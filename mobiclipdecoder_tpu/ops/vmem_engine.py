@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .idct import idct4, idct8
 from .intra_tables import AVG2, AVG3, DC, KIND, TAPS
-from ..models.plan import OP_INTRA, OP_RESID
+from ..models.plan import OP_INTRA, OP_MC, OP_RESID
 
 MR = 8       # top margin rows (taps at row -1 read zeros, like fresh planes)
 MCOL = 8     # left margin lanes
@@ -296,13 +296,16 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
             PACKED = STAGE == 2      # byte-packed VMEM ring (_ring_mode)
             if PACKED:
                 (ring_out_ref, frames_ref,
-                 winl, winc, cur, curc, plane, pplane, vring, sems) = rest
+                 winl, winc, cur, curc, fresl, fresc, plane, pplane,
+                 vring, sems) = rest
             elif STAGE:
                 (ring_out_ref, frames_ref,
-                 winl, winc, cur, curc, plane, vring, sems) = rest
+                 winl, winc, cur, curc, fresl, fresc, plane, vring,
+                 sems) = rest
             else:
                 (ring_out_ref, frames_ref,
-                 winl, winc, cur, curc, plane, sems) = rest
+                 winl, winc, cur, curc, fresl, fresc, plane,
+                 sems) = rest
                 vring = None
             out_ref = plane
             bid = pl.program_id(0)
@@ -343,7 +346,8 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                     out_ref[g] = jnp.zeros((8, SP), jnp.int32)
         else:
             PACKED = False
-            out_ref, winl, winc, cur, curc, sems = rest
+            (out_ref, winl, winc, cur, curc, fresl, fresc,
+             sems) = rest
             chid = pl.program_id(1)
             ring_src = ring_ref
 
@@ -501,6 +505,11 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 bw = (w0 >> 16) & 0x1F
                 bh = (w0 >> 21) & 0x1F
                 ref = (w0 >> 13) & 7
+                # fused residual rows (scanner op fusion): an unsplit
+                # 16x16 inter MB carries its <=6 residual rows on the MC
+                # op — bits 3..8 of w0 are the cbp mask (4 luma quadrant
+                # bits + U + V), w3 the first of its consecutive rows
+                rmask = (w0 >> 3) & 0x3F
                 dx = (w2 << 16) >> 16
                 dy = w2 >> 16
                 # luma
@@ -518,6 +527,24 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 else:
                     wnd = roll(roll(w24, -(yb & 7), 0), -xb, 1)
                 px = halfpel(wnd, 16, dx, dy)
+                fresl[...] = px
+
+                @pl.when(rmask & 0xF != 0)
+                def _fold_luma_res():
+                    res16 = jnp.zeros((16, 16), jnp.int32)
+                    ri = w3
+                    for q in range(4):
+                        bit = (rmask >> q) & 1
+                        row = resid_ref[pl.ds(ri, 1),
+                                        :].astype(jnp.float32)
+                        r8 = jnp.pad(reshape_res8(row), ((0, 8), (0, 8)))
+                        qpad = roll(roll(r8, 8 * (q >> 1), 0),
+                                    8 * (q & 1), 1)
+                        res16 = res16 + jnp.where(bit == 1, qpad, 0)
+                        ri = ri + bit
+                    fresl[...] = jnp.clip(fresl[...] + res16, 0, 255)
+
+                px = fresl[...]
                 c24, g, o = rmw_load(rr)
                 sel = rect(rc24, o + 1, o + 1 + bh, cc, cc + bw)
                 rmw_commit(jnp.where(sel, place24(px, cc, o), c24), g)
@@ -551,6 +578,26 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                     wru = roll(wr, -xu, 1)
                     pxu = halfpel(wru, 8, cdx, cdy)
                     pxv = halfpel(wru[:, S // 2:], 8, cdx, cdy)
+                fresc[0] = pxu
+                fresc[1] = pxv
+
+                @pl.when((rmask >> 4) != 0)
+                def _fold_chroma_res():
+                    nl = w3
+                    for pq in range(4):
+                        nl = nl + ((rmask >> pq) & 1)
+                    bu = (rmask >> 4) & 1
+                    bv = (rmask >> 5) & 1
+                    rowu = resid_ref[pl.ds(nl, 1), :].astype(jnp.float32)
+                    rowv = resid_ref[pl.ds(nl + bu, 1),
+                                     :].astype(jnp.float32)
+                    ru = jnp.where(bu == 1, reshape_res8(rowu), 0)
+                    rv = jnp.where(bv == 1, reshape_res8(rowv), 0)
+                    fresc[0] = jnp.clip(fresc[0] + ru, 0, 255)
+                    fresc[1] = jnp.clip(fresc[1] + rv, 0, 255)
+
+                pxu = fresc[0]
+                pxv = fresc[1]
                 basec = cy - 1
                 g2 = basec >> 3
                 o2 = basec & 7
@@ -840,6 +887,8 @@ def _build_executor(B: int, H: int, S: int, nops: int, nr: int,
             pltpu.VMEM((2, 8, SP), jnp.int32),   # chroma MC window
             pltpu.VMEM((3, 8, SP), jnp.int32),   # RMW block
             pltpu.VMEM((2, 8, SP), jnp.int32),   # chroma RMW block
+            pltpu.VMEM((16, 16), jnp.int32),     # fused-resid luma px
+            pltpu.VMEM((2, 8, 8), jnp.int32),    # fused-resid chroma px
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
@@ -885,6 +934,8 @@ def _build_gop_executor(F: int, B: int, H: int, S: int, nct: int,
         pltpu.VMEM((2, 8, SPX), jnp.int32),       # chroma MC window
         pltpu.VMEM((3, 8, SP), jnp.int32),        # RMW block
         pltpu.VMEM((2, 8, SP), jnp.int32),        # chroma RMW block
+        pltpu.VMEM((16, 16), jnp.int32),          # fused-resid luma px
+        pltpu.VMEM((2, 8, 8), jnp.int32),         # fused-resid chroma px
         pltpu.VMEM((G8, 8, SP), jnp.int32),       # working plane
     ]
     if stage == 2:
@@ -928,20 +979,61 @@ def _build_gop_executor(F: int, B: int, H: int, S: int, nct: int,
     return run
 
 
+def _op_nrows(w0: int) -> int:
+    """Coefficient rows referenced by one op row: resid/intra-with-coef
+    reference one; a fused MC references popcount of its residual mask
+    (w0 bits 3..8); everything else none."""
+    typ = w0 & 3
+    if typ == OP_RESID:
+        return 1
+    if typ == OP_INTRA:
+        return (w0 >> 10) & 1
+    if typ == OP_MC:
+        return bin((w0 >> 3) & 0x3F).count("1")
+    return 0
+
+
+def _frame_chunk_spans(rows: np.ndarray) -> list[tuple[int, int]]:
+    """Greedy chunk partition of one frame's op rows: a chunk holds at most
+    CHUNK-1 op rows AND at most CHUNK coefficient rows (fused MC ops carry
+    up to 6 rows each, so the coefficient block can fill first).  This is
+    the executable spec of the C++ scanner's chunk-close rule
+    (native/scanner.cpp) — both must split identically."""
+    n = rows.shape[0]
+    spans = []
+    i = 0
+    cap = CHUNK - 1
+    while i < n or not spans:
+        j = i
+        crow = 0
+        while j < n and (j - i) < cap:
+            nr = _op_nrows(int(rows[j, 0]))
+            if crow + nr > CHUNK:
+                break
+            crow += nr
+            j += 1
+        spans.append((i, j))
+        i = j
+        if i >= n:
+            break
+    return spans
+
+
 def _pack_gop_chunks(plans_fb: list[list[dict]], B: int) -> tuple:
     """Pack per-frame scan plans into the packed-chunk-stream GOP layout.
 
     plans_fb[f][b] = scan_unified dict.  Returns (ops (B, NCT, CHUNK, 4),
-    coefs (B, NCT, CHUNK, 64), sizes (B, NCT, CHUNK)).  Each frame occupies
-    ceil(nops/(CHUNK-1)) chunks; chunk headers carry
-    [count, frame_idx, first_flag, last_flag].  Coefficient rows are
-    re-partitioned per chunk (w3 references become chunk-local), so the
-    device-side residual block stays a fixed (CHUNK, 64) slice."""
+    coefs (B, NCT, CHUNK, 64), sizes (B, NCT, CHUNK)).  Chunk headers
+    carry [count, frame_idx, first_flag, last_flag]; chunk spans follow
+    _frame_chunk_spans.  Coefficient rows are re-partitioned per chunk
+    (w3 references become chunk-local), so the device-side residual block
+    stays a fixed (CHUNK, 64) slice."""
     F = len(plans_fb)
-    cap = CHUNK - 1
-    nchunks_fb = [[max(1, -(-int(plans_fb[f][b]["ops"][0, 0]) // cap))
-                   for f in range(F)] for b in range(B)]
-    nct = _bucket(max(sum(nc) for nc in nchunks_fb), NCT_BUCKETS)
+    spans_fb = [[_frame_chunk_spans(
+        plans_fb[f][b]["ops"][1:1 + int(plans_fb[f][b]["ops"][0, 0])])
+        for f in range(F)] for b in range(B)]
+    nct = _bucket(max(sum(len(s) for s in spans_fb[b]) for b in range(B)),
+                  NCT_BUCKETS)
     ops = np.zeros((B, nct, CHUNK, 4), np.int32)
     coefs = np.zeros((B, nct, CHUNK, 64), np.int32)
     sizes = np.full((B, nct, CHUNK), 8, np.int32)
@@ -951,27 +1043,27 @@ def _pack_gop_chunks(plans_fb: list[list[dict]], B: int) -> tuple:
             p = plans_fb[f][b]
             n = int(p["ops"][0, 0])
             rows = p["ops"][1:1 + n]
-            nchunks = nchunks_fb[b][f]
-            for c in range(nchunks):
-                seg = rows[c * cap:(c + 1) * cap]
-                m = seg.shape[0]
+            spans = spans_fb[b][f]
+            for c, (i0, i1) in enumerate(spans):
+                m = i1 - i0
                 dst = ops[b, k, 1:1 + m]
-                dst[:] = seg
-                # chunk-local coefficient rows: gather the rows this
-                # chunk's ops reference; each row has exactly one
-                # referencing op, in decode order
-                typ = dst[:, 0] & 3
-                used = ((typ == OP_RESID)
-                        | ((typ == OP_INTRA) & ((dst[:, 0] >> 10) & 1 == 1)))
-                refs = dst[used, 3]
-                dst[:, 3] = 0
-                dst[used, 3] = np.arange(refs.shape[0], dtype=np.int32)
-                if refs.shape[0]:
-                    coefs[b, k, :refs.shape[0]] = p["coefs"][refs]
-                    sizes[b, k, :refs.shape[0]] = p["sizes"][refs]
+                dst[:] = rows[i0:i1]
+                crow = 0
+                for r in range(m):
+                    nr = _op_nrows(int(dst[r, 0]))
+                    if nr:
+                        w3 = int(dst[r, 3])
+                        coefs[b, k, crow:crow + nr] = \
+                            p["coefs"][w3:w3 + nr]
+                        sizes[b, k, crow:crow + nr] = \
+                            p["sizes"][w3:w3 + nr]
+                        dst[r, 3] = crow
+                        crow += nr
+                    else:
+                        dst[r, 3] = 0
                 ops[b, k, 0] = (m, f,
                                 1 if c == 0 else 0,
-                                1 if c == nchunks - 1 else 0)
+                                1 if c == len(spans) - 1 else 0)
                 k += 1
     return ops, coefs, sizes
 
@@ -1770,7 +1862,7 @@ class VmemBatchDecoder:
         for row in plans_fb:
             for b, p in enumerate(row):
                 n = int(p["ops"][0, 0])
-                totals[b] += max(1, -(-n // (CHUNK - 1)))
+                totals[b] += len(_frame_chunk_spans(p["ops"][1:1 + n]))
         if max(totals) > cap and len(plans_fb) > 1:
             mid = len(plans_fb) // 2
             t1a, ya = self._dispatch_plans(plans_fb[:mid])

@@ -88,6 +88,19 @@ struct PlanSink {
   int q_pid = -1, q_y8 = -1, q_x8 = -1, q_b = -1;
   int q_row = -1;   // ucoef index (unified) / absolute row (GOP mode)
   int q_qoff = 0;   // quadrant offset for the row being created
+  bool q_in_fz = false;  // open quad row lives in fz_rows[fz_n-1]
+
+  // MC+residual fusion (mirrors models/plan.py pack_unified try_fuse):
+  // an unsplit 16x16 inter MB's MC op absorbs its <=6 residual rows
+  // (w0 bits 3..8 = cbp mask, w3 = first row).  The MC's emission is
+  // DEFERRED until its residual section ends so the GOP packer can place
+  // the op and all its rows in one chunk atomically — the offline
+  // executable spec is _frame_chunk_spans in ops/vmem_engine.py.
+  bool fz_active = false;
+  int32_t fz_w0 = 0, fz_w1 = 0, fz_w2 = 0, fz_rr = 0, fz_cc = 0;
+  int fz_y = 0, fz_x = 0, fz_last = -1, fz_n = 0;
+  int32_t fz_rows[6][64];
+  int fz_sizes[6];
 };
 
 struct Scanner {
@@ -265,7 +278,10 @@ struct Scanner {
   }
   void g_emit(int32_t w0, int32_t rr, int32_t cc, int32_t w2) {
     PlanSink *k = sink;
-    if (k->g_row == kChunk) {            // chunk full: roll to the next
+    // chunk full (op rows) or coefficient block full (fused MCs carry up
+    // to 6 rows each, so coef slots can fill first; spec:
+    // ops/vmem_engine.py _frame_chunk_spans)
+    if (k->g_row == kChunk || (k->g_pend && k->g_crow >= kChunk)) {
       g_close_chunk(0);
       g_open_chunk(0);
       if (k->overflow) return;
@@ -298,11 +314,106 @@ struct Scanner {
     r[2] = w2;
     k->g_row++;
   }
+  void fz_flush() {
+    PlanSink *k = sink;
+    if (!k->fz_active) return;
+    k->fz_active = false;
+    k->q_in_fz = false;
+    int n = k->fz_n;
+    if (k->g_ops3) {
+      // atomic chunk capacity: 1 op row + n coefficient rows
+      if (k->g_row == kChunk || k->g_crow + n > kChunk) {
+        g_close_chunk(0);
+        g_open_chunk(0);
+        if (k->overflow) return;
+      }
+      int32_t w3 = n ? k->g_crow : 0;
+      for (int r = 0; r < n; r++) {
+        int row = (k->g_nct - 1) * kChunk + k->g_crow;
+        int32_t base = row * 64;
+        for (int p = 0; p < 64; p++) {
+          int32_t v = k->fz_rows[r][p];
+          if (!v) continue;
+          if (k->g_nnz >= k->g_nnz_cap) { k->overflow = true; return; }
+          if (v < -32768 || v > 32767) k->g_val_overflow = true;
+          k->g_idx[k->g_nnz] = base + p;
+          k->g_val[k->g_nnz] = int16_t(v);
+          k->g_nnz++;
+        }
+        if (k->fz_sizes[r] == 4)
+          k->g_szbits[row >> 5] |= uint32_t(1) << (row & 31);
+        k->g_crow++;
+      }
+      int32_t *r = k->g_ops3
+          + (size_t(k->g_nct - 1) * kChunk + size_t(k->g_row)) * 3;
+      r[0] = k->fz_w0;
+      r[1] = int32_t(uint32_t(k->fz_rr) | (uint32_t(k->fz_cc) << 12)
+                     | (uint32_t(w3) << 24));
+      r[2] = k->fz_w2;
+      k->g_row++;
+    } else {
+      int32_t w3 = 0;
+      for (int r = 0; r < n; r++) {
+        if (k->ucoef_n >= k->ucoef_cap) { k->overflow = true; return; }
+        int idx = k->ucoef_n++;
+        if (r == 0) w3 = idx;
+        memcpy(k->ucoef + 64 * idx, k->fz_rows[r], 64 * 4);
+        k->usize[idx] = k->fz_sizes[r];
+      }
+      if (k->uops_n >= k->uops_cap) { k->overflow = true; return; }
+      int32_t *r = k->uops + 4 * (k->uops_n++);
+      r[0] = k->fz_w0; r[1] = k->fz_w1; r[2] = k->fz_w2; r[3] = w3;
+    }
+  }
+
+  bool fz_try(int pid, int ry, int rx, const int32_t *dense, int size,
+              int qoff) {
+    PlanSink *k = sink;
+    if (!k->fz_active) return false;
+    int bit;
+    if (pid == 0) {
+      if ((ry != k->fz_y && ry != k->fz_y + 8)
+          || (rx != k->fz_x && rx != k->fz_x + 8)) {
+        fz_flush();
+        return false;
+      }
+      bit = ((ry - k->fz_y) >> 3) * 2 + ((rx - k->fz_x) >> 3);
+    } else {
+      if (ry != (k->fz_y >> 1)) { fz_flush(); return false; }
+      if (rx == (k->fz_x >> 1)) bit = 4;
+      else if (rx == (k->fz_x >> 1) + stride / 2) bit = 5;
+      else { fz_flush(); return false; }
+    }
+    if (bit <= k->fz_last || k->fz_n >= 6) { fz_flush(); return false; }
+    int r = k->fz_n++;
+    memset(k->fz_rows[r], 0, 64 * 4);
+    memcpy(k->fz_rows[r] + qoff, dense, size * size * 4);
+    k->fz_sizes[r] = size;
+    k->fz_w0 |= 1 << (3 + bit);
+    k->fz_last = bit;
+    return true;
+  }
+
   void u_mc(int y, int x, int w, int h, int ref, int dx, int dy) {
+    fz_flush();
     sink->q_pid = -1;
-    u_row(1 | (ref << 13) | (w << 16) | (h << 21),
-          (8 + y) | ((8 + x) << 16),
-          int32_t((uint32_t(dx) & 0xFFFF) | (uint32_t(dy) << 16)), 0);
+    int32_t w0 = 1 | (ref << 13) | (w << 16) | (h << 21);
+    int32_t w2 = int32_t((uint32_t(dx) & 0xFFFF) | (uint32_t(dy) << 16));
+    if (w == 16 && h == 16) {
+      PlanSink *k = sink;
+      k->fz_active = true;
+      k->fz_w0 = w0;
+      k->fz_w1 = (8 + y) | ((8 + x) << 16);
+      k->fz_rr = 8 + y;
+      k->fz_cc = 8 + x;
+      k->fz_w2 = w2;
+      k->fz_y = y;
+      k->fz_x = x;
+      k->fz_last = -1;
+      k->fz_n = 0;
+      return;
+    }
+    u_row(w0, (8 + y) | ((8 + x) << 16), w2, 0);
   }
   void g_fold_quad(int b, const int32_t *dense) {
     PlanSink *k = sink;
@@ -325,7 +436,9 @@ struct Scanner {
       if (s2->q_pid == pid && s2->q_y8 == (y >> 3)
           && s2->q_x8 == (x >> 3) && b > s2->q_b) {
         s2->q_b = b;  // fold into the open quad row
-        if (s2->g_ops3) {
+        if (s2->q_in_fz) {
+          memcpy(s2->fz_rows[s2->fz_n - 1] + 16 * b, dense, 16 * 4);
+        } else if (s2->g_ops3) {
           g_fold_quad(b, dense);
         } else {
           memcpy(s2->ucoef + 64 * s2->q_row + 16 * b, dense, 16 * 4);
@@ -333,6 +446,11 @@ struct Scanner {
         return;
       }
       s2->q_pid = pid; s2->q_y8 = y >> 3; s2->q_x8 = x >> 3; s2->q_b = b;
+      if (fz_try(pid, y & ~7, x & ~7, dense, 4, 16 * b)) {
+        s2->q_in_fz = true;
+        return;
+      }
+      s2->q_in_fz = false;
       s2->q_qoff = 16 * b;
       int k = u_coef_row(dense, 4);
       u_row(2 | (3 << 2),
@@ -343,12 +461,14 @@ struct Scanner {
       return;
     }
     s2->q_pid = -1;
+    if (size == 8 && fz_try(pid, y, x, dense, 8, 0)) return;
     int k = u_coef_row(dense, size);
     u_row(2 | (size_log(size) << 2),
           (8 + y + (pid ? height : 0)) | ((8 + x) << 16), 0, k);
   }
   void u_intra(int pid, int y, int x, int size, int mode, int grad,
                int has, const int32_t *dense) {
+    fz_flush();
     if (mode == 9 || mode == 19) {
       if (has) u_resid(pid, y, x, size, dense);
       return;
@@ -834,6 +954,7 @@ struct Scanner {
         off += S * 16 - width;
       }
     }
+    if (sink->uops || sink->g_ops3) fz_flush();
     return offset;
   }
 };
