@@ -33,6 +33,8 @@ import json
 import sys
 import time
 
+import numpy as np
+
 
 def main() -> int:
     import jax
@@ -281,6 +283,19 @@ def main() -> int:
     except Exception as e:
         e2e_wii = repr(e)
 
+    # The host<->device link is a remote tunnel whose bandwidth drifts by
+    # >100x across sessions (measured 0.2-1200 MB/s); every *_e2e_* and
+    # upload-bound number above is a function of it.  Record the link
+    # state at bench time so those numbers are interpretable.
+    probe = np.random.randint(0, 255, (4 << 20,), np.uint8)
+    t0 = time.perf_counter()
+    dprobe = jax.device_put(probe)
+    jax.block_until_ready(dprobe)
+    up_mbps = 4.0 / max(time.perf_counter() - t0, 1e-9)
+    t0 = time.perf_counter()
+    np.asarray(dprobe)
+    down_mbps = 4.0 / max(time.perf_counter() - t0, 1e-9)
+
     baseline_fps = 24.0  # realtime DS playback, single-threaded C# reference
     print(json.dumps({
         "metric": "mods_256x192_device_decode_fps_per_chip",
@@ -299,6 +314,8 @@ def main() -> int:
         "e2e_400x240_cropped_fps": e2e_3ds,
         "wii_e2e_cropped_fps": e2e_wii,
         **({"wii_error": wii_error} if wii_error else {}),
+        "tunnel_up_MBps": round(up_mbps, 1),
+        "tunnel_down_MBps": round(down_mbps, 1),
         "compile_s": round(t_compile + t_compile_f, 1),
         "device": str(jax.devices()[0]),
     }))

@@ -386,9 +386,15 @@ def play(path: str | Path, engine: str = "tpu", realtime: bool = True,
     info = probe_info(path)
     data = Path(path).read_bytes()
     arate, ach = 0, 0
+    is3d = False
     if info["container"] == "moflex":
         vids = [s for s in info["streams"] if s["type"] == "video"]
         fps = vids[0]["fps"] if vids else 24.0
+        # 3D layouts: the reference player decodes every frame (decoder
+        # state continuity) but DISPLAYS alternate frames (the left eye,
+        # starting with the first) at a doubled interval
+        # (Form1.cs:516-530: `left = !left`, 2000 ms / fps)
+        is3d = bool(vids) and vids[0].get("layout", 0) != 0
         auds = [s for s in info["streams"] if s["type"] == "audio"]
         if auds:
             arate, ach = auds[0]["frequency"], auds[0]["channels"]
@@ -411,15 +417,20 @@ def play(path: str | Path, engine: str = "tpu", realtime: bool = True,
         moflex_rgb = True
     else:
         raise ValueError("unplayable container")
-    period = 1.0 / max(fps, 1e-3)
+    period = (2.0 if is3d else 1.0) / max(fps, 1e-3)
     t0 = time.perf_counter()
     n = 0
     late = 0
     n_samples = 0
     sink = None
     asink = None
+    left = False
     try:
         for fr in frames:
+            left = not left
+            if is3d and not left:
+                # right-eye frame: decoded (state), not displayed
+                continue
             deadline = t0 + (n + 1) * period
             now = time.perf_counter()
             if dump_frame is not None and fr.index == dump_frame:
@@ -429,7 +440,8 @@ def play(path: str | Path, engine: str = "tpu", realtime: bool = True,
             if pipe_y4m is not None:
                 if sink is None:
                     sink = rawio.LiveY4MPipe(pipe_y4m, fr.y.shape[1],
-                                             fr.y.shape[0], fps)
+                                             fr.y.shape[0],
+                                             fps / 2 if is3d else fps)
                 sink.add_rgb(rawio.yuv_to_rgb(fr.y, fr.u, fr.v, moflex_rgb))
             if pipe_wav is not None and fr.pcm is not None and arate:
                 if asink is None:
@@ -450,7 +462,7 @@ def play(path: str | Path, engine: str = "tpu", realtime: bool = True,
         if asink is not None:
             asink.close()
     wall = time.perf_counter() - t0
-    return {"frames": n, "fps_target": round(fps, 3),
+    return {"frames": n, "fps_target": round(fps, 3), "is3d": is3d,
             "fps_achieved": round(n / wall, 2) if wall else 0.0,
             "audio_samples": n_samples,
             "late_frames": late, "realtime": realtime and late == 0}

@@ -181,3 +181,12 @@ def interleave_channels(channels: list[np.ndarray]) -> np.ndarray:
     for i, c in enumerate(channels):
         out[i::len(channels)] = c[:n]
     return out
+
+
+def anaglyph(left_rgb: np.ndarray, right_rgb: np.ndarray) -> np.ndarray:
+    """Red/cyan anaglyph compositor for 3D stereo pairs: R from the left
+    eye, G and B from the right (the reference ships the same compositor,
+    present but unused in its display flow — Form1.cs:652-675)."""
+    out = right_rgb.copy()
+    out[..., 0] = left_rgb[..., 0]
+    return out

@@ -205,3 +205,51 @@ def test_play_pipe_wav(tmp_path):
     (dlen,) = struct.unpack_from("<I", data, 40)
     assert dlen == 2 * stats["audio_samples"]  # header patched on close
     assert len(data) == 44 + dlen
+
+
+def test_play_3d_layout_left_eye_parity(tmp_path):
+    """A Moflex stream with a 3D layout must play like the reference
+    (Form1.cs:516-530): every frame decodes (decoder state continuity)
+    but only alternate frames — the left eye, starting with the first —
+    display, at a doubled frame interval."""
+    import numpy as np
+    from mobiclipdecoder_tpu.containers.moflex import (MoflexMuxer,
+                                                       VideoLayout,
+                                                       VideoStreamWithLayout)
+    from mobiclipdecoder_tpu.models.oracle_video import MobiclipVersion
+    from mobiclipdecoder_tpu.runtime.transcode import play, probe_info
+    from mobiclipdecoder_tpu.testing.synth import StreamSynthesizer
+
+    W, H, N = 64, 48, 6
+    synth = StreamSynthesizer(W, H, MobiclipVersion.MOFLEX_3DS, seed=33)
+    chunks = [VideoStreamWithLayout(stream_index=0, codec_id=0, fps_rate=24,
+                                    fps_scale=1, width=W, height=H,
+                                    layout=VideoLayout.INTERLEAVE_LEFT_FIRST
+                                    if hasattr(VideoLayout,
+                                               "INTERLEAVE_LEFT_FIRST")
+                                    else list(VideoLayout)[1])]
+    mux = MoflexMuxer(chunks)
+    for i in range(N):
+        pkt = synth.iframe(0x12, pad=False) if i == 0 \
+            else synth.pframe(pad=False)
+        mux.add_frame(0, pkt)
+    f = tmp_path / "clip3d.moflex"
+    f.write_bytes(mux.to_bytes())
+    info = probe_info(f)
+    vids = [s for s in info["streams"] if s["type"] == "video"]
+    assert vids and vids[0]["layout"] != 0
+    stats = play(f, engine="oracle", realtime=False)
+    assert stats["is3d"] is True
+    assert stats["frames"] == (N + 1) // 2          # left-eye frames only
+
+
+def test_anaglyph_compositor():
+    """R channel from the left eye, G/B from the right (Form1.cs:663-668)."""
+    import numpy as np
+    from mobiclipdecoder_tpu.utils import rawio
+    rng = np.random.default_rng(0)
+    left = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    right = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    out = rawio.anaglyph(left, right)
+    np.testing.assert_array_equal(out[..., 0], left[..., 0])
+    np.testing.assert_array_equal(out[..., 1:], right[..., 1:])
