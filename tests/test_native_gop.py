@@ -189,3 +189,100 @@ def test_single_frame_dense_fallback(monkeypatch):
     yuv, offs, err = dec.decode_stream_chunk(pkts)
     assert err is None and yuv.shape[0] == 3
     np.testing.assert_array_equal(yuv, ref_yuv)
+
+
+def test_fusion_coef_capacity_chunk_close():
+    """With MC+residual fusion a chunk's COEFFICIENT capacity (CHUNK rows)
+    can fill before its op capacity (CHUNK-1 ops): a stream of unsplit
+    full-cbp inter MBs carries 6 rows per MC op, closing chunks at ~42
+    ops.  The Python span rule and the C++ scanner must split identically
+    and the decode must stay bit-exact."""
+    from mobiclipdecoder_tpu.models.oracle_video import OracleDecoder
+    from mobiclipdecoder_tpu.testing.synth import StreamSynthesizer, _inv_lut, _pb_code
+    from mobiclipdecoder_tpu.tables import TABLES
+    from mobiclipdecoder_tpu.utils.bitio import BitWriter
+
+    W, H = 256, 96
+    v = MobiclipVersion.MODS_DS
+    s = StreamSynthesizer(W, H, v, seed=77)
+    pkts = [s.iframe(0x18)]
+
+    # hand-built P-frame: every MB is an unsplit mode-1 MC with a FULL
+    # residual cbp (0x3F) of whole-8x8 blocks -> 6 fused rows per MC
+    bw = BitWriter()
+    bw.write_bits(0, 1)
+    bw.write_varint_s(0)
+    s.table = 0
+    for mby in range(H // 16):
+        for mbx in range(W // 16):
+            code, nbits = _pb_code(16, 16, "mods", 1)
+            bw.write_bits(code, nbits)
+            bw.write_varint_s(0)    # dx = pred
+            bw.write_varint_s(0)    # dy = pred
+            bw.write_varint_u(_inv_lut(TABLES["cbp_inter"], 0x3F))
+            for _ in range(6):
+                bw.write_bits(1, 1)          # whole 8x8 DCT
+                s._emit_block_coefs(bw, 8)
+    s.frame_idx += 1
+    pkts.append(bw.to_bytes() + b"\x00\x00")
+
+    # every MC op in the dense frame must be fused with 6 rows, and the
+    # frame must span multiple chunks closed early by coef capacity
+    from mobiclipdecoder_tpu.models.plan import PlanningDecoder
+    from mobiclipdecoder_tpu.ops.vmem_engine import (_frame_chunk_spans,
+                                                     _op_nrows)
+    py = PlanningDecoder(W, H, v)
+    for pkt in pkts:
+        py.data = pkt
+        py.offset = 0
+        py.decode_frame()
+        up = py.unified_plan()
+    n = int(up["ops"][0, 0])
+    rows = up["ops"][1:1 + n]
+    mc = rows[(rows[:, 0] & 3) == 1]
+    assert ((mc[:, 0] >> 3) & 0x3F == 0x3F).all()
+    spans = _frame_chunk_spans(rows)
+    assert len(spans) > 1
+    i0, i1 = spans[0]
+    assert sum(_op_nrows(int(w)) for w in rows[i0:i1, 0]) <= 256
+    assert (i1 - i0) < 255  # closed by coef capacity, not op capacity
+
+    # C++ GOP scan must produce the bit-identical blob and exact decode
+    nv = NativePlanner(W, H, int(v))
+    r = nv.scan_gop_packed(pkts)
+    assert r["done"] == 2 and not r["err"]
+    py2 = PlanningDecoder(W, H, v)
+    plans = []
+    for pkt in pkts:
+        py2.data = pkt
+        py2.offset = 0
+        py2.decode_frame()
+        plans.append([py2.unified_plan()])
+    from mobiclipdecoder_tpu.ops.vmem_engine import (CHUNK,
+                                                     _assemble_gop_parts,
+                                                     _gop_part,
+                                                     _pack_gop_blob_sparse,
+                                                     _pack_gop_chunks)
+    ops, coefs, sizes = _pack_gop_chunks(plans, 1)
+    nct = ops.shape[1]
+    sp = _pack_gop_blob_sparse(ops, coefs, sizes.reshape(1, nct * CHUNK))
+    assert sp is not None
+    blob_ref, nnzb_ref = sp
+    blob_nat, nct_nat, nnzb_nat = _assemble_gop_parts([_gop_part(r)])
+    assert nct_nat == nct and nnzb_nat == nnzb_ref
+    np.testing.assert_array_equal(blob_ref, blob_nat)
+
+    # and the engine decodes the dense stream bit-exactly
+    dec = VmemVideoDecoder(W, H, v, interpret=True)
+    yuv, _offs, err = dec.decode_stream_chunk(pkts)
+    assert err is None
+    odec = OracleDecoder(W, H, v)
+    S = odec.stride
+    for k, pkt in enumerate(pkts):
+        odec.data = pkt
+        odec.offset = 0
+        odec.decode_frame()
+        np.testing.assert_array_equal(
+            yuv[k][:H], odec.y_planes[0].reshape(-1, S)[:H])
+        np.testing.assert_array_equal(
+            yuv[k][H:], odec.uv_planes[0].reshape(-1, S)[:H // 2])
