@@ -15,7 +15,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # current hooks in ops/vmem_engine._PROBE_SKIP; combine with "+"
-VARIANTS = ("base", "rolls", "mcdma", "rmwdma", "mchroma", "rres", "itaps",
+VARIANTS = ("base", "rolls", "mcfres", "mcdma", "rmwdma", "mchroma", "rres", "itaps",
             "iluts", "idc", "ipred", "ires", "mc", "resid", "intra",
             "body")
 
