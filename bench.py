@@ -196,7 +196,10 @@ def main() -> int:
     probe = np.random.randint(0, 255, (4 << 20,), np.uint8)
     t0 = time.perf_counter()
     dprobe = jax.device_put(probe)
-    jax.block_until_ready(dprobe)
+    # block_until_ready does not synchronize through the axon tunnel; a
+    # tiny dependent scalar fetch is the true completion barrier for the
+    # upload (its fixed ~30 ms cost biases the rate DOWN, never up)
+    float(_jnp.sum(dprobe[:1].astype(_jnp.int32)))
     up_mbps = 4.0 / max(time.perf_counter() - t0, 1e-9)
     t0 = time.perf_counter()
     np.asarray(dprobe)

@@ -428,26 +428,29 @@ def play(path: str | Path, engine: str = "tpu", realtime: bool = True,
     try:
         for fr in frames:
             left = not left
-            if is3d and not left:
-                # right-eye frame: decoded (state), not displayed
-                continue
-            deadline = t0 + (n + 1) * period
-            now = time.perf_counter()
+            # audio attached to ANY decoded frame plays — the reference only
+            # toggles *display* on the left/right eye (Form1.cs:516-530);
+            # audio chunks decode and buffer regardless of the toggle
+            if pipe_wav is not None and fr.pcm is not None and arate:
+                if asink is None:
+                    asink = rawio.LiveWavPipe(pipe_wav, arate, ach)
+                asink.add(fr.pcm)
+                n_samples += len(fr.pcm)
             if dump_frame is not None and fr.index == dump_frame:
                 rgb = rawio.yuv_to_rgb(fr.y, fr.u, fr.v, moflex_rgb)
                 rawio.write_ppm(dump_path or (str(path)
                                               + f".{fr.index}.ppm"), rgb)
+            if is3d and not left:
+                # right-eye frame: decoded (state + audio), not displayed
+                continue
+            deadline = t0 + (n + 1) * period
+            now = time.perf_counter()
             if pipe_y4m is not None:
                 if sink is None:
                     sink = rawio.LiveY4MPipe(pipe_y4m, fr.y.shape[1],
                                              fr.y.shape[0],
                                              fps / 2 if is3d else fps)
                 sink.add_rgb(rawio.yuv_to_rgb(fr.y, fr.u, fr.v, moflex_rgb))
-            if pipe_wav is not None and fr.pcm is not None and arate:
-                if asink is None:
-                    asink = rawio.LiveWavPipe(pipe_wav, arate, ach)
-                asink.add(fr.pcm)
-                n_samples += len(fr.pcm)
             if realtime:
                 if now > deadline:
                     late += 1

@@ -211,25 +211,33 @@ def test_play_3d_layout_left_eye_parity(tmp_path):
     """A Moflex stream with a 3D layout must play like the reference
     (Form1.cs:516-530): every frame decodes (decoder state continuity)
     but only alternate frames — the left eye, starting with the first —
-    display, at a doubled frame interval."""
+    display, at a doubled frame interval.  Audio attached to right-eye
+    frames still plays: the reference toggle skips only the display, so
+    dropping those PCM chunks would halve the audio (Form1.cs:549-558)."""
     import numpy as np
-    from mobiclipdecoder_tpu.containers.moflex import (MoflexMuxer,
+    from mobiclipdecoder_tpu.containers.moflex import (AudioStream,
+                                                       MoflexMuxer,
                                                        VideoLayout,
                                                        VideoStreamWithLayout)
     from mobiclipdecoder_tpu.models.oracle_video import MobiclipVersion
     from mobiclipdecoder_tpu.runtime.transcode import play, probe_info
     from mobiclipdecoder_tpu.testing.synth import StreamSynthesizer
 
-    W, H, N = 64, 48, 6
+    W, H, N, NS = 64, 48, 6, 64
     synth = StreamSynthesizer(W, H, MobiclipVersion.MOFLEX_3DS, seed=33)
     chunks = [VideoStreamWithLayout(stream_index=0, codec_id=0, fps_rate=24,
                                     fps_scale=1, width=W, height=H,
                                     layout=VideoLayout.INTERLEAVE_LEFT_FIRST
                                     if hasattr(VideoLayout,
                                                "INTERLEAVE_LEFT_FIRST")
-                                    else list(VideoLayout)[1])]
+                                    else list(VideoLayout)[1]),
+              AudioStream(stream_index=1, codec_id=2,  # PCM16
+                          frequency=16384, channels=1)]
     mux = MoflexMuxer(chunks)
+    rng = np.random.default_rng(33)
     for i in range(N):
+        pcm = rng.integers(-2000, 2000, NS).astype("<i2")
+        mux.add_frame(1, pcm.tobytes())
         pkt = synth.iframe(0x12, pad=False) if i == 0 \
             else synth.pframe(pad=False)
         mux.add_frame(0, pkt)
@@ -238,9 +246,15 @@ def test_play_3d_layout_left_eye_parity(tmp_path):
     info = probe_info(f)
     vids = [s for s in info["streams"] if s["type"] == "video"]
     assert vids and vids[0]["layout"] != 0
-    stats = play(f, engine="oracle", realtime=False)
+    wav = tmp_path / "live3d.wav"
+    stats = play(f, engine="oracle", realtime=False, pipe_wav=str(wav))
     assert stats["is3d"] is True
     assert stats["frames"] == (N + 1) // 2          # left-eye frames only
+    # every decoded frame's PCM played — including right-eye frames.
+    # (+1 sample/frame: the demuxer's 2 appended zero bytes reach the
+    # PCM16 path, exactly as the reference feeds the whole event payload
+    # to its audio buffer, MoLiveDemux.cs:353 + Form1.cs:631-633.)
+    assert stats["audio_samples"] == N * (NS + 1)
 
 
 def test_anaglyph_compositor():
