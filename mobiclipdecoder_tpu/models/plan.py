@@ -83,6 +83,16 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
       w2 = (dx&0xFFFF)|(dy&0xFFFF)<<16  for MC; gradient for intra
       w3 = residual-coefficient row index (0 when unused)
 
+    Residual ops come in three region forms (size_log in w0 bits 2..4):
+      2/3 = plain 4x4/8x8 region (one coefficient row);
+      4   = masked 16x16: up to four 8x8 quads of one MB applied in ONE
+            op — w0 bits 5..8 are the quad mask, w3 the first of its
+            consecutive rows (the batched form of a split-MB's luma
+            residuals, which cannot ride a single leaf's MC op);
+      5   = chroma U+V pair: both 8x8 chroma residuals of one MB in ONE
+            op — w0 bits 5..6 = (U present, V present), w1's column is
+            the U base (V sits at the static +S/2 offset).
+
     Intra modes 9/19 (pass-through) are emitted as plain residual ops (their
     prediction is a no-op); without coefficients they are dropped entirely.
     """
@@ -141,6 +151,58 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
     # pixels; cuts the dominant op type ~3x.  Mirrored bit-identically by
     # the C++ scanner (native/scanner.cpp u_resid).
     quad = {"key": None, "row": -1, "b": -1}
+    # residual-batch peephole: 8x8-region residual rows that could NOT
+    # ride an MC op (split-MB residuals, intra pass-through) accumulate
+    # per MB into ONE masked-16x16 op (luma) / ONE U+V pair op (chroma).
+    # Exactness-safe for the same reason as MC fusion: the batched rows
+    # are consecutive in decode order and nothing reads their pixels in
+    # between; clip(cur + res) per region equals the op-per-region
+    # sequence pixel-for-pixel.
+    pend = {"on": False, "pid": 0, "my": 0, "mx": 0,
+            "mask": 0, "first": 0, "n": 0, "last": -1}
+
+    def flush_pend():
+        if not pend["on"]:
+            return
+        pend["on"] = False
+        pid, mask, first = pend["pid"], pend["mask"], pend["first"]
+        if pend["n"] == 1:
+            # single region: the plain 8x8 form is cheaper in-kernel
+            bit = mask.bit_length() - 1
+            if pid == 0:
+                ry = pend["my"] + 8 * (bit >> 1)
+                rx = pend["mx"] + 8 * (bit & 1)
+            else:
+                ry = pend["my"]
+                rx = pend["mx"] + (S // 2 if bit else 0)
+            w0 = OP_RESID | (_SIZE_LOG[8] << 2)
+            rr = mr + ry + (H if pid else 0)
+            rows.append((w0, rr | ((mcol + rx) << 16), 0, first))
+            return
+        sl = 4 if pid == 0 else 5
+        w0 = OP_RESID | (sl << 2) | (mask << 5)
+        rr = mr + pend["my"] + (H if pid else 0)
+        rows.append((w0, rr | ((mcol + pend["mx"]) << 16), 0, first))
+
+    def pend_add(pid, y, x, k):
+        """Accumulate an 8x8-region residual row; (y, x) are plane coords
+        of the region base."""
+        if pid == 0:
+            my, mx = y & ~15, x & ~15
+            bit = ((y - my) >> 3) * 2 + ((x - mx) >> 3)
+        else:
+            my = y
+            mx, bit = (x - S // 2, 1) if x >= S // 2 else (x, 0)
+        if (pend["on"] and pend["pid"] == pid and pend["my"] == my
+                and pend["mx"] == mx and bit > pend["last"]
+                and k == pend["first"] + pend["n"]):
+            pend["mask"] |= 1 << bit
+            pend["last"] = bit
+            pend["n"] += 1
+            return
+        flush_pend()
+        pend.update(on=True, pid=pid, my=my, mx=mx, mask=1 << bit,
+                    first=k, n=1, last=bit)
 
     def coef_row(dense, size) -> int:
         co = np.zeros(64, np.int32)
@@ -164,22 +226,20 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
             quad.update(key=key, row=k, b=b)
             if try_fuse(pid, y & ~7, x & ~7, k):
                 return
-            w0 = OP_RESID | (_SIZE_LOG[8] << 2)
-            rr = mr + (y & ~7) + (H if pid else 0)
-            rows.append((w0, rr | ((mcol + (x & ~7)) << 16), 0, k))
+            pend_add(pid, y & ~7, x & ~7, k)
             return
         quad["key"] = None
         k = coef_row(dense, size)
-        if size == 8 and try_fuse(pid, y, x, k):
+        # size is 8 here (the 4x4 branch above always returns)
+        if try_fuse(pid, y, x, k):
             return
-        w0 = OP_RESID | (_SIZE_LOG[size] << 2)
-        rr = mr + y + (H if pid else 0)
-        rows.append((w0, rr | ((mcol + x) << 16), 0, k))
+        pend_add(pid, y, x, k)
 
     for op in ops:
         kind = op[0]
         if kind == "mc":
             quad["key"] = None
+            flush_pend()
             _, w, h, ref, dx, dy, off = op
             y, x = off // S, off % S
             w0 = (OP_MC | (ref << 13) | (w << 16) | (h << 21))
@@ -202,6 +262,7 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
                     emit_resid(pid, y, x, size, cf[0])
                 continue
             quad["key"] = None
+            flush_pend()
             half = S // 2 if (pid == 1 and x >= S // 2) else 0
             avl = int((x - half) != 0)
             avt = int(y != 0)
@@ -213,6 +274,7 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
             rows.append((w0, rr | ((mcol + x) << 16),
                          int(grad or 0), k))
 
+    flush_pend()
     ops_arr = np.zeros((len(rows) + 1, 4), np.int32)
     ops_arr[0, 0] = len(rows)
     if rows:

@@ -533,9 +533,13 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 def _fold_luma_res():
                     res16 = jnp.zeros((16, 16), jnp.int32)
                     ri = w3
+                    rmax = resid_ref.shape[0] - 1
                     for q in range(4):
                         bit = (rmask >> q) & 1
-                        row = resid_ref[pl.ds(ri, 1),
+                        # dead loads (bit==0) may index one row past the
+                        # block (a chunk can close with w3+n == CHUNK);
+                        # clamp instead of relying on Mosaic OOB clamping
+                        row = resid_ref[pl.ds(jnp.minimum(ri, rmax), 1),
                                         :].astype(jnp.float32)
                         r8 = jnp.pad(reshape_res8(row), ((0, 8), (0, 8)))
                         qpad = roll(roll(r8, 8 * (q >> 1), 0),
@@ -588,8 +592,10 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                         nl = nl + ((rmask >> pq) & 1)
                     bu = (rmask >> 4) & 1
                     bv = (rmask >> 5) & 1
-                    rowu = resid_ref[pl.ds(nl, 1), :].astype(jnp.float32)
-                    rowv = resid_ref[pl.ds(nl + bu, 1),
+                    rmax = resid_ref.shape[0] - 1
+                    rowu = resid_ref[pl.ds(jnp.minimum(nl, rmax), 1),
+                                     :].astype(jnp.float32)
+                    rowv = resid_ref[pl.ds(jnp.minimum(nl + bu, rmax), 1),
                                      :].astype(jnp.float32)
                     ru = jnp.where(bu == 1, reshape_res8(rowu), 0)
                     rv = jnp.where(bv == 1, reshape_res8(rowv), 0)
@@ -621,19 +627,89 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                     write_groups(out_ref, g2, curc, 2)
 
             # -------------------------------------------------- resid (2)
+            # three region forms (models/plan.py pack_unified): plain
+            # 4x4/8x8, masked 16x16 (a split-MB's luma quads in ONE op),
+            # and the chroma U+V pair (one shared window + placement)
             def _res():
-                size = 1 << ((w0 >> 2) & 7)
-                c24, g, o = rmw_load(rr)
-                a = roll(roll(c24, -o, 0), -cc, 1)
-                cur8 = a[1:9, :8]
-                row = resid_ref[pl.ds(w3, 1), :].astype(jnp.float32)
-                res8 = (jnp.zeros((8, 8), jnp.int32)
-                        if "rres" in _PROBE_SKIP else reshape_res8(row))
-                out8 = jnp.clip(cur8 + res8, 0, 255)
-                p = jnp.pad(out8, ((0, 16), (0, SP - 8)))
-                placed = roll(roll(p, cc, 1), o + 1, 0)
-                sel = rect(rc24, o + 1, o + 1 + size, cc, cc + size)
-                rmw_commit(jnp.where(sel, placed, c24), g)
+                sl = (w0 >> 2) & 7
+                rmax = resid_ref.shape[0] - 1
+
+                @pl.when(sl < 4)
+                def _res_plain():
+                    size = 1 << sl
+                    c24, g, o = rmw_load(rr)
+                    a = roll(roll(c24, -o, 0), -cc, 1)
+                    cur8 = a[1:9, :8]
+                    row = resid_ref[pl.ds(w3, 1), :].astype(jnp.float32)
+                    res8 = (jnp.zeros((8, 8), jnp.int32)
+                            if "rres" in _PROBE_SKIP else reshape_res8(row))
+                    out8 = jnp.clip(cur8 + res8, 0, 255)
+                    p = jnp.pad(out8, ((0, 16), (0, SP - 8)))
+                    placed = roll(roll(p, cc, 1), o + 1, 0)
+                    sel = rect(rc24, o + 1, o + 1 + size, cc, cc + size)
+                    rmw_commit(jnp.where(sel, placed, c24), g)
+
+                @pl.when(sl == 4)
+                def _res16():
+                    mask = (w0 >> 5) & 0xF
+                    c24, g, o = rmw_load(rr)
+                    a = roll(roll(c24, -o, 0), -cc, 1)
+                    cur16 = a[1:17, :16]
+                    res16 = jnp.zeros((16, 16), jnp.int32)
+                    ri = w3
+                    for q in range(4):
+                        bit = (mask >> q) & 1
+                        row = resid_ref[pl.ds(jnp.minimum(ri, rmax), 1),
+                                        :].astype(jnp.float32)
+                        r8 = jnp.pad(reshape_res8(row), ((0, 8), (0, 8)))
+                        qpad = roll(roll(r8, 8 * (q >> 1), 0),
+                                    8 * (q & 1), 1)
+                        res16 = res16 + jnp.where(bit == 1, qpad, 0)
+                        ri = ri + bit
+                    # uncoded quads add 0: clip(cur + 0) == cur rewrites
+                    # them unchanged, so one full-region commit is exact
+                    out16 = jnp.clip(cur16 + res16, 0, 255)
+                    p = jnp.pad(out16, ((0, 8), (0, SP - 16)))
+                    placed = roll(roll(p, cc, 1), o + 1, 0)
+                    sel = rect(rc24, o + 1, o + 1 + 16, cc, cc + 16)
+                    rmw_commit(jnp.where(sel, placed, c24), g)
+
+                @pl.when(sl == 5)
+                def _res_uv():
+                    bu = (w0 >> 5) & 1
+                    bv = (w0 >> 6) & 1
+                    basec = rr - 1
+                    g2 = basec >> 3
+                    o2 = basec & 7
+                    if "rmwdma" not in _PROBE_SKIP:
+                        copy_groups(out_ref, g2, curc, 2)
+                    c16 = jnp.concatenate([curc[0], curc[1]], axis=0)
+                    # ONE roll serves both chroma halves (V at the static
+                    # +S/2 offset, like the fused-MC chroma commit)
+                    a = roll(roll(c16, -(o2 + 1), 0), -cc, 1)
+                    curu = a[:8, :8]
+                    curv = a[:8, S // 2:S // 2 + 8]
+                    rowu = resid_ref[pl.ds(jnp.minimum(w3, rmax), 1),
+                                     :].astype(jnp.float32)
+                    rowv = resid_ref[pl.ds(jnp.minimum(w3 + bu, rmax), 1),
+                                     :].astype(jnp.float32)
+                    ru = jnp.where(bu == 1, reshape_res8(rowu), 0)
+                    rv = jnp.where(bv == 1, reshape_res8(rowv), 0)
+                    outu = jnp.clip(curu + ru, 0, 255)
+                    outv = jnp.clip(curv + rv, 0, 255)
+                    puv = (jnp.pad(outu, ((0, 8), (0, SP - 8)))
+                           + jnp.pad(outv,
+                                     ((0, 8), (S // 2, SP - 8 - S // 2))))
+                    placed = roll(roll(puv, cc, 1), o2 + 1, 0)
+                    rowm = (rc16s >= o2 + 1) & (rc16s < o2 + 1 + 8)
+                    colm = (((lr_sp >= cc) & (lr_sp < cc + 8))
+                            | ((lr_sp >= cc + S // 2)
+                               & (lr_sp < cc + S // 2 + 8)))
+                    new16 = jnp.where(rowm & colm, placed, c16)
+                    curc[0] = new16[:8]
+                    curc[1] = new16[8:16]
+                    if "rmwdma" not in _PROBE_SKIP:
+                        write_groups(out_ref, g2, curc, 2)
 
             # -------------------------------------------------- intra (3)
             def _intra():
@@ -980,11 +1056,17 @@ def _build_gop_executor(F: int, B: int, H: int, S: int, nct: int,
 
 
 def _op_nrows(w0: int) -> int:
-    """Coefficient rows referenced by one op row: resid/intra-with-coef
-    reference one; a fused MC references popcount of its residual mask
-    (w0 bits 3..8); everything else none."""
+    """Coefficient rows referenced by one op row: plain resid/intra-with-
+    coef reference one; a fused MC references popcount of its residual
+    mask (w0 bits 3..8); batched residuals (size_log 4 masked-16x16 /
+    size_log 5 U+V pair) popcount of their masks (w0 bits 5..)."""
     typ = w0 & 3
     if typ == OP_RESID:
+        sl = (w0 >> 2) & 7
+        if sl == 4:
+            return bin((w0 >> 5) & 0xF).count("1")
+        if sl == 5:
+            return bin((w0 >> 5) & 0x3).count("1")
         return 1
     if typ == OP_INTRA:
         return (w0 >> 10) & 1

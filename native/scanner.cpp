@@ -79,15 +79,11 @@ struct PlanSink {
   bool g_val_overflow = false;      // some |coef| > int16 (val entry clipped)
   const int32_t *g_pend = nullptr;  // coef row deferred to its op's chunk
   int g_pend_size = 0;
-  int g_pend_qoff = 0;              // quadrant element offset within the row
-  int g_last_row = -1;              // absolute coef row of the last g_emit
 
   // quad-merge peephole (mirrors models/plan.py pack_unified emit_resid):
   // consecutive 4x4 residuals of one 8x8 fold into a single size-8-region
-  // op whose coefficient row holds the sub-blocks at quadrant slots 16*b.
+  // row whose coefficient row holds the sub-blocks at quadrant slots 16*b.
   int q_pid = -1, q_y8 = -1, q_x8 = -1, q_b = -1;
-  int q_row = -1;   // ucoef index (unified) / absolute row (GOP mode)
-  int q_qoff = 0;   // quadrant offset for the row being created
   bool q_in_fz = false;  // open quad row lives in fz_rows[fz_n-1]
 
   // MC+residual fusion (mirrors models/plan.py pack_unified try_fuse):
@@ -97,10 +93,21 @@ struct PlanSink {
   // the op and all its rows in one chunk atomically — the offline
   // executable spec is _frame_chunk_spans in ops/vmem_engine.py.
   bool fz_active = false;
-  int32_t fz_w0 = 0, fz_w1 = 0, fz_w2 = 0, fz_rr = 0, fz_cc = 0;
+  int32_t fz_w0 = 0, fz_w2 = 0, fz_rr = 0, fz_cc = 0;
   int fz_y = 0, fz_x = 0, fz_last = -1, fz_n = 0;
   int32_t fz_rows[6][64];
   int fz_sizes[6];
+
+  // residual-batch peephole (mirrors plan.py pack_unified pend): 8x8-region
+  // residual rows that could NOT ride an MC op (split-MB residuals, intra
+  // pass-through) accumulate per MB into ONE masked-16x16 op (luma,
+  // size_log 4, mask in w0 bits 5..8) / ONE U+V pair op (chroma, size_log
+  // 5, mask bits 5..6); a single region flushes as the plain 8x8 form.
+  bool pd_active = false;
+  bool q_in_pd = false;  // open quad row lives in pd_rows[pd_n-1]
+  int pd_pid = 0, pd_my = 0, pd_mx = 0, pd_mask = 0, pd_last = -1, pd_n = 0;
+  int32_t pd_rows[4][64];
+  int pd_sizes[4];
 };
 
 struct Scanner {
@@ -229,14 +236,13 @@ struct Scanner {
     if (sink->g_ops3) {  // GOP mode: defer to the op row's chunk (g_emit)
       sink->g_pend = dense;
       sink->g_pend_size = size;
-      sink->g_pend_qoff = sink->q_qoff;
       return 0;
     }
     if (sink->ucoef_n >= sink->ucoef_cap) { sink->overflow = true; return 0; }
     int k = sink->ucoef_n++;
     int32_t *c = sink->ucoef + 64 * k;
     memset(c, 0, 64 * 4);
-    memcpy(c + sink->q_qoff, dense, size * size * 4);
+    memcpy(c, dense, size * size * 4);
     sink->usize[k] = size;
     return k;
   }
@@ -290,8 +296,7 @@ struct Scanner {
     if (k->g_pend) {
       w3 = k->g_crow;
       int row = (k->g_nct - 1) * kChunk + k->g_crow;
-      k->g_last_row = row;
-      int32_t base = row * 64 + k->g_pend_qoff;
+      int32_t base = row * 64;
       int n = k->g_pend_size * k->g_pend_size;
       for (int p = 0; p < n; p++) {       // ascending == np.flatnonzero
         int32_t v = k->g_pend[p];
@@ -314,14 +319,14 @@ struct Scanner {
     r[2] = w2;
     k->g_row++;
   }
-  void fz_flush() {
+  // shared emission of one op row + its n deferred coefficient rows
+  // (atomic per chunk: 1 op row + n coef rows never split; offline spec =
+  // _frame_chunk_spans) — used by both the MC fusion and residual-batch
+  // peepholes
+  void emit_op_rows(int32_t w0, int32_t rr, int32_t cc, int32_t w2,
+                    int32_t rows[][64], const int *sz, int n) {
     PlanSink *k = sink;
-    if (!k->fz_active) return;
-    k->fz_active = false;
-    k->q_in_fz = false;
-    int n = k->fz_n;
     if (k->g_ops3) {
-      // atomic chunk capacity: 1 op row + n coefficient rows
       if (k->g_row == kChunk || k->g_crow + n > kChunk) {
         g_close_chunk(0);
         g_open_chunk(0);
@@ -332,7 +337,7 @@ struct Scanner {
         int row = (k->g_nct - 1) * kChunk + k->g_crow;
         int32_t base = row * 64;
         for (int p = 0; p < 64; p++) {
-          int32_t v = k->fz_rows[r][p];
+          int32_t v = rows[r][p];
           if (!v) continue;
           if (k->g_nnz >= k->g_nnz_cap) { k->overflow = true; return; }
           if (v < -32768 || v > 32767) k->g_val_overflow = true;
@@ -340,16 +345,16 @@ struct Scanner {
           k->g_val[k->g_nnz] = int16_t(v);
           k->g_nnz++;
         }
-        if (k->fz_sizes[r] == 4)
+        if (sz[r] == 4)
           k->g_szbits[row >> 5] |= uint32_t(1) << (row & 31);
         k->g_crow++;
       }
       int32_t *r = k->g_ops3
           + (size_t(k->g_nct - 1) * kChunk + size_t(k->g_row)) * 3;
-      r[0] = k->fz_w0;
-      r[1] = int32_t(uint32_t(k->fz_rr) | (uint32_t(k->fz_cc) << 12)
+      r[0] = w0;
+      r[1] = int32_t(uint32_t(rr) | (uint32_t(cc) << 12)
                      | (uint32_t(w3) << 24));
-      r[2] = k->fz_w2;
+      r[2] = w2;
       k->g_row++;
     } else {
       int32_t w3 = 0;
@@ -357,13 +362,81 @@ struct Scanner {
         if (k->ucoef_n >= k->ucoef_cap) { k->overflow = true; return; }
         int idx = k->ucoef_n++;
         if (r == 0) w3 = idx;
-        memcpy(k->ucoef + 64 * idx, k->fz_rows[r], 64 * 4);
-        k->usize[idx] = k->fz_sizes[r];
+        memcpy(k->ucoef + 64 * idx, rows[r], 64 * 4);
+        k->usize[idx] = sz[r];
       }
       if (k->uops_n >= k->uops_cap) { k->overflow = true; return; }
       int32_t *r = k->uops + 4 * (k->uops_n++);
-      r[0] = k->fz_w0; r[1] = k->fz_w1; r[2] = k->fz_w2; r[3] = w3;
+      r[0] = w0; r[1] = rr | (cc << 16); r[2] = w2; r[3] = w3;
     }
+  }
+  void fz_flush() {
+    PlanSink *k = sink;
+    if (!k->fz_active) return;
+    k->fz_active = false;
+    k->q_in_fz = false;
+    emit_op_rows(k->fz_w0, k->fz_rr, k->fz_cc, k->fz_w2, k->fz_rows,
+                 k->fz_sizes, k->fz_n);
+  }
+  void pd_flush() {
+    PlanSink *k = sink;
+    if (!k->pd_active) return;
+    k->pd_active = false;
+    k->q_in_pd = false;
+    int hofs = k->pd_pid ? height : 0;
+    if (k->pd_n == 1) {
+      // single region: the plain 8x8 form is cheaper in-kernel
+      int b = 0;
+      while (!((k->pd_mask >> b) & 1)) b++;
+      int ry, rx;
+      if (k->pd_pid == 0) {
+        ry = k->pd_my + 8 * (b >> 1);
+        rx = k->pd_mx + 8 * (b & 1);
+      } else {
+        ry = k->pd_my;
+        rx = k->pd_mx + (b ? stride / 2 : 0);
+      }
+      emit_op_rows(2 | (3 << 2), 8 + ry + hofs, 8 + rx, 0, k->pd_rows,
+                   k->pd_sizes, 1);
+      return;
+    }
+    int sl = k->pd_pid == 0 ? 4 : 5;
+    emit_op_rows(2 | (sl << 2) | (k->pd_mask << 5), 8 + k->pd_my + hofs,
+                 8 + k->pd_mx, 0, k->pd_rows, k->pd_sizes, k->pd_n);
+  }
+  void pd_add(int pid, int ry, int rx, const int32_t *dense, int size,
+              int qoff) {
+    PlanSink *k = sink;
+    int my, mx, bit;
+    if (pid == 0) {
+      my = ry & ~15;
+      mx = rx & ~15;
+      bit = ((ry - my) >> 3) * 2 + ((rx - mx) >> 3);
+    } else {
+      my = ry;
+      if (rx >= stride / 2) { mx = rx - stride / 2; bit = 1; }
+      else { mx = rx; bit = 0; }
+    }
+    // bit > pd_last bounds pd_n to 4 (luma) / 2 (chroma) structurally;
+    // deferred rows are consecutive at flush by construction, matching
+    // the Python side's k == first + n check
+    if (!(k->pd_active && k->pd_pid == pid && k->pd_my == my
+          && k->pd_mx == mx && bit > k->pd_last)) {
+      pd_flush();
+      k->pd_active = true;
+      k->pd_pid = pid;
+      k->pd_my = my;
+      k->pd_mx = mx;
+      k->pd_mask = 0;
+      k->pd_last = -1;
+      k->pd_n = 0;
+    }
+    int r = k->pd_n++;
+    memset(k->pd_rows[r], 0, 64 * 4);
+    memcpy(k->pd_rows[r] + qoff, dense, size * size * 4);
+    k->pd_sizes[r] = size;
+    k->pd_mask |= 1 << bit;
+    k->pd_last = bit;
   }
 
   bool fz_try(int pid, int ry, int rx, const int32_t *dense, int size,
@@ -396,6 +469,7 @@ struct Scanner {
 
   void u_mc(int y, int x, int w, int h, int ref, int dx, int dy) {
     fz_flush();
+    pd_flush();
     sink->q_pid = -1;
     int32_t w0 = 1 | (ref << 13) | (w << 16) | (h << 21);
     int32_t w2 = int32_t((uint32_t(dx) & 0xFFFF) | (uint32_t(dy) << 16));
@@ -403,7 +477,6 @@ struct Scanner {
       PlanSink *k = sink;
       k->fz_active = true;
       k->fz_w0 = w0;
-      k->fz_w1 = (8 + y) | ((8 + x) << 16);
       k->fz_rr = 8 + y;
       k->fz_cc = 8 + x;
       k->fz_w2 = w2;
@@ -415,19 +488,6 @@ struct Scanner {
     }
     u_row(w0, (8 + y) | ((8 + x) << 16), w2, 0);
   }
-  void g_fold_quad(int b, const int32_t *dense) {
-    PlanSink *k = sink;
-    int32_t base = k->q_row * 64 + 16 * b;
-    for (int p = 0; p < 16; p++) {
-      int32_t v = dense[p];
-      if (!v) continue;
-      if (k->g_nnz >= k->g_nnz_cap) { k->overflow = true; return; }
-      if (v < -32768 || v > 32767) k->g_val_overflow = true;
-      k->g_idx[k->g_nnz] = base + p;
-      k->g_val[k->g_nnz] = int16_t(v);
-      k->g_nnz++;
-    }
-  }
 
   void u_resid(int pid, int y, int x, int size, const int32_t *dense) {
     PlanSink *s2 = sink;
@@ -435,13 +495,11 @@ struct Scanner {
       int b = ((y >> 2) & 1) * 2 + ((x >> 2) & 1);
       if (s2->q_pid == pid && s2->q_y8 == (y >> 3)
           && s2->q_x8 == (x >> 3) && b > s2->q_b) {
-        s2->q_b = b;  // fold into the open quad row
+        s2->q_b = b;  // fold into the open quad row (fz or pend deferred)
         if (s2->q_in_fz) {
           memcpy(s2->fz_rows[s2->fz_n - 1] + 16 * b, dense, 16 * 4);
-        } else if (s2->g_ops3) {
-          g_fold_quad(b, dense);
         } else {
-          memcpy(s2->ucoef + 64 * s2->q_row + 16 * b, dense, 16 * 4);
+          memcpy(s2->pd_rows[s2->pd_n - 1] + 16 * b, dense, 16 * 4);
         }
         return;
       }
@@ -451,20 +509,14 @@ struct Scanner {
         return;
       }
       s2->q_in_fz = false;
-      s2->q_qoff = 16 * b;
-      int k = u_coef_row(dense, 4);
-      u_row(2 | (3 << 2),
-            (8 + (y & ~7) + (pid ? height : 0)) | ((8 + (x & ~7)) << 16),
-            0, k);
-      s2->q_qoff = 0;
-      s2->q_row = s2->g_ops3 ? s2->g_last_row : k;
+      pd_add(pid, y & ~7, x & ~7, dense, 4, 16 * b);
+      s2->q_in_pd = true;
       return;
     }
     s2->q_pid = -1;
-    if (size == 8 && fz_try(pid, y, x, dense, 8, 0)) return;
-    int k = u_coef_row(dense, size);
-    u_row(2 | (size_log(size) << 2),
-          (8 + y + (pid ? height : 0)) | ((8 + x) << 16), 0, k);
+    // size is 8 here (record_resid emits 4 or 8; 4 returned above)
+    if (fz_try(pid, y, x, dense, 8, 0)) return;
+    pd_add(pid, y, x, dense, 8, 0);
   }
   void u_intra(int pid, int y, int x, int size, int mode, int grad,
                int has, const int32_t *dense) {
@@ -473,6 +525,7 @@ struct Scanner {
       if (has) u_resid(pid, y, x, size, dense);
       return;
     }
+    pd_flush();
     sink->q_pid = -1;
     int S = stride;
     int half = (pid == 1 && x >= S / 2) ? S / 2 : 0;
@@ -954,7 +1007,10 @@ struct Scanner {
         off += S * 16 - width;
       }
     }
-    if (sink->uops || sink->g_ops3) fz_flush();
+    if (sink->uops || sink->g_ops3) {
+      fz_flush();
+      pd_flush();
+    }
     return offset;
   }
 };
@@ -1103,6 +1159,8 @@ int scanner_scan_gop(void *ctx, const uint8_t *data, const int32_t *pkt_off,
     sink.bad = false;
     sink.g_pend = nullptr;
     sink.q_pid = -1;   // quad peephole never crosses a frame edge
+    sink.fz_active = false;  // nor do the deferred-emission peepholes
+    sink.pd_active = false;  // (a failed frame may leave them mid-build)
     s->g_open_chunk(1);
     if (sink.overflow) {       // chunk capacity already full at frame start
       sink.g_nct = nct0;
