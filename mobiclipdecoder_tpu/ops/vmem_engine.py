@@ -67,6 +67,10 @@ _HP = jax.lax.Precision.HIGHEST
 # paths; builders are lru-cached per shape, so probe processes must set
 # this before the first build of the probed shape.
 _PROBE_SKIP: frozenset = frozenset()
+# RMW/ring band caches (see the kernel's band-cache block).  A build-time
+# toggle so the probe can A/B the cached vs per-op-DMA forms on real
+# hardware (flip + cache_clear like _PROBE_SKIP).
+_BAND_CACHE: bool = True
 
 
 def _geom(height: int, stride: int) -> tuple[int, int, int]:
@@ -297,15 +301,15 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
             if PACKED:
                 (ring_out_ref, frames_ref,
                  winl, winc, cur, curc, fresl, fresc, plane, pplane,
-                 vring, sems) = rest
+                 vring, bandst, sems) = rest
             elif STAGE:
                 (ring_out_ref, frames_ref,
                  winl, winc, cur, curc, fresl, fresc, plane, vring,
-                 sems) = rest
+                 bandst, sems) = rest
             else:
                 (ring_out_ref, frames_ref,
                  winl, winc, cur, curc, fresl, fresc, plane,
-                 sems) = rest
+                 bandst, sems) = rest
                 vring = None
             out_ref = plane
             bid = pl.program_id(0)
@@ -347,7 +351,7 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
         else:
             PACKED = False
             (out_ref, winl, winc, cur, curc, fresl, fresc,
-             sems) = rest
+             bandst, sems) = rest
             chid = pl.program_id(1)
             ring_src = ring_ref
 
@@ -450,22 +454,106 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
             for d in dmas:
                 d.wait()
 
+        # ---- RMW band caches -------------------------------------------
+        # bandst (SMEM, per-chunk lifetime): [0] = cached out-plane band of
+        # the 3-group `cur` window, [1] = cached 2-group `curc` chroma
+        # band, [2]/[3] = cached ring-window group keys of winl/winc
+        # (read-only), all -1 when invalid.  Decode order is raster, so
+        # consecutive ops usually target the same band — a hit skips the
+        # whole load/flush DMA pair (measured the largest non-body cost
+        # slice, PROBE_R4_KERNEL dma_waits).  The two write-back caches
+        # flush each other on range overlap (an op-stream can touch the
+        # same chroma rows through either window form), and both flush at
+        # chunk end — before the frame commit reads out_ref.
+        def _flush_luma():
+            @pl.when(bandst[0] >= 0)
+            def _():
+                write_groups(out_ref, bandst[0], cur, 3)
+            bandst[0] = -1
+
+        def _flush_chroma():
+            @pl.when(bandst[1] >= 0)
+            def _():
+                write_groups(out_ref, bandst[1], curc, 2)
+            bandst[1] = -1
+
         def rmw_load(rr):
-            """Fetch the 24 output rows covering rows rr-1 .. rr+16."""
+            """The 24 output rows covering rows rr-1 .. rr+16, through the
+            luma band cache."""
             base = rr - 1
             g = base >> 3
             o = base & 7
             if "rmwdma" not in _PROBE_SKIP:
-                copy_groups(out_ref, g, cur, 3)
+                if not _BAND_CACHE:
+                    copy_groups(out_ref, g, cur, 3)
+                else:
+                    @pl.when(g != bandst[0])
+                    def _miss():
+                        _flush_luma()
+                        gc = bandst[1]
+
+                        @pl.when((gc >= 0) & (gc < g + 3) & (g < gc + 2))
+                        def _overlap():
+                            _flush_chroma()
+                        copy_groups(out_ref, g, cur, 3)
+                        bandst[0] = g
             c24 = jnp.concatenate([cur[0], cur[1], cur[2]], axis=0)
             return c24, g, o
 
         def rmw_commit(new24, g):
+            # dirty rows stay in the band cache until a miss or chunk end
             cur[0] = new24[:8]
             cur[1] = new24[8:16]
             cur[2] = new24[16:24]
-            if "rmwdma" not in _PROBE_SKIP:
+            if not _BAND_CACHE and "rmwdma" not in _PROBE_SKIP:
                 write_groups(out_ref, g, cur, 3)
+
+        def chroma_win(g2):
+            """The 16 output rows at group g2, through the chroma band
+            cache (fused-MC chroma commits and U+V pair residuals)."""
+            if "rmwdma" not in _PROBE_SKIP:
+                if not _BAND_CACHE:
+                    copy_groups(out_ref, g2, curc, 2)
+                else:
+                    @pl.when(g2 != bandst[1])
+                    def _miss():
+                        _flush_chroma()
+                        gl = bandst[0]
+
+                        @pl.when((gl >= 0) & (gl < g2 + 2) & (g2 < gl + 3))
+                        def _overlap():
+                            _flush_luma()
+                        copy_groups(out_ref, g2, curc, 2)
+                        bandst[1] = g2
+            return jnp.concatenate([curc[0], curc[1]], axis=0)
+
+        def chroma_commit(g2):
+            if not _BAND_CACHE and "rmwdma" not in _PROBE_SKIP:
+                write_groups(out_ref, g2, curc, 2)
+
+        def ring_win_luma(gl):
+            """3-group MC window from the ring, cached on the absolute
+            ring group (read-only: no flush, reset per chunk)."""
+            if "mcdma" not in _PROBE_SKIP:
+                if not _BAND_CACHE:
+                    copy_groups(ring_src, gl, winl, 3)
+                else:
+                    @pl.when(gl != bandst[2])
+                    def _miss():
+                        copy_groups(ring_src, gl, winl, 3)
+                        bandst[2] = gl
+            return jnp.concatenate([winl[0], winl[1], winl[2]], axis=0)
+
+        def ring_win_chroma(gc):
+            if "mcdma" not in _PROBE_SKIP:
+                if not _BAND_CACHE:
+                    copy_groups(ring_src, gc, winc, 2)
+                else:
+                    @pl.when(gc != bandst[3])
+                    def _miss():
+                        copy_groups(ring_src, gc, winc, 2)
+                        bandst[3] = gc
+            return jnp.concatenate([winc[0], winc[1]], axis=0)
 
         def place24(blk16, cc, o):
             p = jnp.pad(blk16, ((0, 8), (0, SP - 16)))
@@ -516,9 +604,7 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 yb = rr + (dy >> 1)
                 xb = cc + (dx >> 1)
                 gl = ring_group(ref, jnp.clip(yb >> 3, 0, G8 - 3))
-                if "mcdma" not in _PROBE_SKIP:
-                    copy_groups(ring_src, gl, winl, 3)
-                w24 = jnp.concatenate([winl[0], winl[1], winl[2]], axis=0)
+                w24 = ring_win_luma(gl)
                 if PACKED:
                     # word-granular roll, then unpack 8 words (32 px >=
                     # 3+17) with the sub-word remainder folded in
@@ -562,9 +648,7 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 ccv = ccu + S // 2
                 cyb = cy + (cdy >> 1)
                 gc = ring_group(ref, jnp.clip(cyb >> 3, 0, G8 - 2))
-                if "mcdma" not in _PROBE_SKIP:
-                    copy_groups(ring_src, gc, winc, 2)
-                w16 = jnp.concatenate([winc[0], winc[1]], axis=0)
+                w16 = ring_win_chroma(gc)
                 wr = roll(w16, -(cyb & 7), 0)
                 # ONE dynamic roll serves both chroma halves: after
                 # rolling to the U window base, the V window sits at the
@@ -607,9 +691,7 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 basec = cy - 1
                 g2 = basec >> 3
                 o2 = basec & 7
-                if "rmwdma" not in _PROBE_SKIP:
-                    copy_groups(out_ref, g2, curc, 2)
-                c16 = jnp.concatenate([curc[0], curc[1]], axis=0)
+                c16 = chroma_win(g2)
                 cw = bw >> 1
                 ch = bh >> 1
                 # U and V tiles placed in ONE pass: V sits at its static
@@ -623,8 +705,7 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 new16 = jnp.where(rowm & colm, placed, c16)
                 curc[0] = new16[:8]
                 curc[1] = new16[8:16]
-                if "rmwdma" not in _PROBE_SKIP:
-                    write_groups(out_ref, g2, curc, 2)
+                chroma_commit(g2)
 
             # -------------------------------------------------- resid (2)
             # three region forms (models/plan.py pack_unified): plain
@@ -681,9 +762,7 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                     basec = rr - 1
                     g2 = basec >> 3
                     o2 = basec & 7
-                    if "rmwdma" not in _PROBE_SKIP:
-                        copy_groups(out_ref, g2, curc, 2)
-                    c16 = jnp.concatenate([curc[0], curc[1]], axis=0)
+                    c16 = chroma_win(g2)
                     # ONE roll serves both chroma halves (V at the static
                     # +S/2 offset, like the fused-MC chroma commit)
                     a = roll(roll(c16, -(o2 + 1), 0), -cc, 1)
@@ -708,8 +787,7 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                     new16 = jnp.where(rowm & colm, placed, c16)
                     curc[0] = new16[:8]
                     curc[1] = new16[8:16]
-                    if "rmwdma" not in _PROBE_SKIP:
-                        write_groups(out_ref, g2, curc, 2)
+                    chroma_commit(g2)
 
             # -------------------------------------------------- intra (3)
             def _intra():
@@ -857,7 +935,17 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
             return 0
 
         if "body" not in _PROBE_SKIP:
+            if _BAND_CACHE:
+                bandst[0] = -1
+                bandst[1] = -1
+                bandst[2] = -1
+                bandst[3] = -1
             jax.lax.fori_loop(1, 1 + ops_ref[0, 0], body, 0)
+            if _BAND_CACHE:
+                # chunk-end flush: dirty bands land in out_ref before the
+                # frame commit (or the next chunk) reads it
+                _flush_luma()
+                _flush_chroma()
 
         if fused is not None and "fcommit" not in _PROBE_SKIP:
             @pl.when(last == 1)
@@ -965,6 +1053,7 @@ def _build_executor(B: int, H: int, S: int, nops: int, nr: int,
             pltpu.VMEM((2, 8, SP), jnp.int32),   # chroma RMW block
             pltpu.VMEM((16, 16), jnp.int32),     # fused-resid luma px
             pltpu.VMEM((2, 8, 8), jnp.int32),    # fused-resid chroma px
+            pltpu.SMEM((4,), jnp.int32),         # band-cache keys
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
@@ -1018,6 +1107,7 @@ def _build_gop_executor(F: int, B: int, H: int, S: int, nct: int,
         scratch.append(pltpu.VMEM((G8, 8, SPX), jnp.int32))  # packed commit
     if stage:
         scratch.append(pltpu.VMEM((6 * G8, 8, SPX), jnp.int32))  # stream ring
+    scratch.append(pltpu.SMEM((4,), jnp.int32))              # band-cache keys
     scratch.append(pltpu.SemaphoreType.DMA((3,)))
 
     call = pl.pallas_call(
