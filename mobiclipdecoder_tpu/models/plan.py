@@ -93,6 +93,24 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
             op — w0 bits 5..6 = (U present, V present), w1's column is
             the U base (V sits at the static +S/2 offset).
 
+    Intra ops also come in batched forms (size_log in w0 bits 2..4):
+      2/3 = plain single 4x4/8x8 (mode@5, has@10, avt@11, avl@12, w2 =
+            plane gradient);
+      5/6 = luma quad batch: up to four consecutive 4x4 (sl 5) or 8x8
+            (sl 6) directional intra ops of one parent 8x8/16x16 in ONE
+            op.  w0 bits 5..20 = four 4-bit mode nibbles (mode-10 for
+            sl 5; 0xF = slot absent), bits 21..24 = has bits; w1 is the
+            parent base; w2 = parent avail_top | avail_left<<1; w3 the
+            first of the consecutive coefficient rows.  In-batch
+            sub-blocks read their neighbors' freshly predicted pixels
+            (the kernel updates its local window between sub-blocks),
+            reproducing the sequential plane semantics exactly.  Plane
+            modes (2/12) and pass-throughs break a batch.
+      7   = chroma U+V intra pair: both 8x8 chroma predictions of one MB
+            (same mode by construction) in one op — mode@5..9,
+            has_u@10, has_v@11; U and V halves are independent reads so
+            one window + one placement serves both.
+
     Intra modes 9/19 (pass-through) are emitted as plain residual ops (their
     prediction is a no-op); without coefficients they are dropped entirely.
     """
@@ -211,7 +229,103 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
         sizes.append(size)
         return len(coefs) - 1
 
+    # intra-batch peepholes: consecutive directional luma intra ops of one
+    # parent block fold into a quad-batch op; a chroma U+V intra pair of
+    # one MB folds into one pair op.  Exactness: the batched ops are a
+    # CONTIGUOUS subsequence of the stream (any other op flushes), and the
+    # kernel applies them in q order against its locally-updated window,
+    # so every tap sees exactly the pixels the plain sequence would.
+    ibat = {"on": False, "size": 8, "by": 0, "bx": 0, "lastq": -1,
+            "slots": []}       # slot: (q, y, x, mode, has, k)
+    ivb = {"on": False, "y": 0, "x": 0, "mode": 0, "has": 0, "k": 0}
+
+    def _plain_intra(pid, y, x, size, mode, has, k, grad=0):
+        half = S // 2 if (pid == 1 and x >= S // 2) else 0
+        avl = int((x - half) != 0)
+        avt = int(y != 0)
+        w0 = (OP_INTRA | (_SIZE_LOG[size] << 2) | (mode << 5)
+              | (has << 10) | (avt << 11) | (avl << 12))
+        rr = mr + y + (H if pid else 0)
+        rows.append((w0, rr | ((mcol + x) << 16), grad, k))
+
+    def flush_ibat():
+        if not ibat["on"]:
+            return
+        ibat["on"] = False
+        slots = ibat["slots"]
+        size = ibat["size"]
+        if len(slots) == 1:
+            q, y, x, mode, has, k = slots[0]
+            _plain_intra(0, y, x, size, mode, has, k)
+            return
+        nibs = [0xF] * 4
+        hasbits = 0
+        w3 = 0
+        off = 10 if size == 4 else 0
+        for q, _y, _x, mode, has, k in slots:
+            nibs[q] = mode - off
+            if has:
+                if not hasbits:
+                    w3 = k
+                hasbits |= 1 << q
+        sl = 5 if size == 4 else 6
+        w0 = OP_INTRA | (sl << 2)
+        for q in range(4):
+            w0 |= nibs[q] << (5 + 4 * q)
+        w0 |= hasbits << 21
+        by, bx = ibat["by"], ibat["bx"]
+        w2 = int(by != 0) | (int(bx != 0) << 1)
+        rows.append((w0, (mr + by) | ((mcol + bx) << 16), w2, w3))
+
+    def flush_ivb():
+        if not ivb["on"]:
+            return
+        ivb["on"] = False
+        _plain_intra(1, ivb["y"], ivb["x"], 8, ivb["mode"], ivb["has"],
+                     ivb["k"])
+
+    def emit_intra(pid, y, x, size, mode, grad, cf):
+        has = int(cf is not None)
+        k = coef_row(cf[0], size) if has else 0
+        if pid == 0 and size in (4, 8) and mode not in (2, 12):
+            by = y & ~(2 * size - 1)
+            bx = x & ~(2 * size - 1)
+            q = ((y - by) // size) * 2 + ((x - bx) // size)
+            if not (ibat["on"] and ibat["size"] == size
+                    and ibat["by"] == by and ibat["bx"] == bx
+                    and q > ibat["lastq"]):
+                flush_ibat()
+                flush_ivb()
+                ibat.update(on=True, size=size, by=by, bx=bx, lastq=-1,
+                            slots=[])
+            ibat["slots"].append((q, y, x, mode, has, k))
+            ibat["lastq"] = q
+            return
+        if pid == 1 and size == 8 and mode != 2:
+            if (ivb["on"] and y == ivb["y"] and x == ivb["x"] + S // 2
+                    and mode == ivb["mode"]):
+                # complete U+V pair -> one op
+                ivb["on"] = False
+                w0 = (OP_INTRA | (7 << 2) | (mode << 5)
+                      | (ivb["has"] << 10) | (has << 11))
+                w3 = ivb["k"] if ivb["has"] else k
+                rr = mr + H + y
+                rows.append((w0, rr | ((mcol + ivb["x"]) << 16), 0, w3))
+                return
+            flush_ivb()
+            flush_ibat()
+            if x < S // 2:
+                ivb.update(on=True, y=y, x=x, mode=mode, has=has, k=k)
+                return
+            _plain_intra(1, y, x, size, mode, has, k)
+            return
+        flush_ibat()
+        flush_ivb()
+        _plain_intra(pid, y, x, size, mode, has, k, int(grad or 0))
+
     def emit_resid(pid, y, x, size, dense):
+        flush_ibat()
+        flush_ivb()
         if size == 4:
             key = (pid, y >> 3, x >> 3)
             b = ((y >> 2) & 1) * 2 + ((x >> 2) & 1)
@@ -240,6 +354,8 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
         if kind == "mc":
             quad["key"] = None
             flush_pend()
+            flush_ibat()
+            flush_ivb()
             _, w, h, ref, dx, dy, off = op
             y, x = off // S, off % S
             w0 = (OP_MC | (ref << 13) | (w << 16) | (h << 21))
@@ -263,18 +379,11 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
                 continue
             quad["key"] = None
             flush_pend()
-            half = S // 2 if (pid == 1 and x >= S // 2) else 0
-            avl = int((x - half) != 0)
-            avt = int(y != 0)
-            has = int(cf is not None)
-            k = coef_row(cf[0], size) if has else 0
-            w0 = (OP_INTRA | (_SIZE_LOG[size] << 2) | (mode << 5)
-                  | (has << 10) | (avt << 11) | (avl << 12))
-            rr = mr + y + (H if pid else 0)
-            rows.append((w0, rr | ((mcol + x) << 16),
-                         int(grad or 0), k))
+            emit_intra(pid, y, x, size, mode, grad, cf)
 
     flush_pend()
+    flush_ibat()
+    flush_ivb()
     ops_arr = np.zeros((len(rows) + 1, 4), np.int32)
     ops_arr[0, 0] = len(rows)
     if rows:

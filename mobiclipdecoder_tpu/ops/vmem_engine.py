@@ -719,8 +719,10 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 def _res_plain():
                     size = 1 << sl
                     c24, g, o = rmw_load(rr)
-                    a = roll(roll(c24, -o, 0), -cc, 1)
-                    cur8 = a[1:9, :8]
+                    # roll the block's first row to index 0 (offset-0
+                    # slices keep Mosaic's pad/concat lowering happy)
+                    a = roll(roll(c24, -(o + 1), 0), -cc, 1)
+                    cur8 = a[:8, :8]
                     row = resid_ref[pl.ds(w3, 1), :].astype(jnp.float32)
                     res8 = (jnp.zeros((8, 8), jnp.int32)
                             if "rres" in _PROBE_SKIP else reshape_res8(row))
@@ -734,8 +736,8 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 def _res16():
                     mask = (w0 >> 5) & 0xF
                     c24, g, o = rmw_load(rr)
-                    a = roll(roll(c24, -o, 0), -cc, 1)
-                    cur16 = a[1:17, :16]
+                    a = roll(roll(c24, -(o + 1), 0), -cc, 1)
+                    cur16 = a[:16, :16]
                     res16 = jnp.zeros((16, 16), jnp.int32)
                     ri = w3
                     for q in range(4):
@@ -790,7 +792,199 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                     chroma_commit(g2)
 
             # -------------------------------------------------- intra (3)
+            def pred_dir(trow32, l16, mode, npx, logn, avt, avl):
+                """Finished directional/DC prediction as a (16,16) block:
+                weighted tap-select LUT matmuls (kinds folded into
+                weights, uniform floor(x+0.5)) with the DC-with-edge-
+                availability override for modes 3/13 (:1920-2022).
+                trow32 (1,32): corner @0, t[k] @1+k; l16 (16,1)."""
+                l16f = l16.astype(jnp.float32)
+                lrow = jnp.dot(ones16, l16f * eye16,
+                               preferred_element_type=jnp.float32,
+                               precision=_HP)      # (1,16) transpose
+                trb = trow32.astype(jnp.bfloat16)
+                lrb = lrow.astype(jnp.bfloat16)
+                if "iluts" in _PROBE_SKIP:
+                    pdir = jnp.zeros((1, 256), jnp.int32)
+                else:
+                    pdir = (jnp.dot(trb, wt_ref[mode],
+                                    preferred_element_type=jnp.float32)
+                            + jnp.dot(lrb, wl_ref[mode],
+                                      preferred_element_type=jnp.float32)
+                            + 0.5).astype(jnp.int32)
+                t16 = trow32[:, 1:17]
+                # (measured: cross-lane jnp.sum beats tiny MXU dots here)
+                if "idc" in _PROBE_SKIP:
+                    sum_t = sum_l = 0x80
+                else:
+                    sum_t = jnp.sum(jnp.where(jr1 < npx, t16, 0))
+                    sum_l = jnp.sum(jnp.where(ic1 < npx, l16, 0))
+                dc = jnp.where(
+                    (avt == 1) & (avl == 1),
+                    (sum_t + sum_l + npx) >> (logn + 1),
+                    jnp.where((avt == 1),
+                              (sum_t + (npx >> 1)) >> logn,
+                              jnp.where((avl == 1),
+                                        (sum_l + (npx >> 1)) >> logn,
+                                        0x80)))
+                is_dc = (mode == 3) | (mode == 13)
+                pred256 = jnp.where(is_dc, dc, pdir)
+                if "ipred" in _PROBE_SKIP:
+                    return jnp.zeros((16, 16), jnp.int32)
+                # bf16 exact: pred256 in 0..255, matrices one-hot
+                predb = rm1_16 * pred256.astype(jnp.bfloat16)
+                return jnp.dot(predb, rm2_16,
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.int32)
+
+            def _intra_quad(ssz):
+                """Luma quad batch (sl 5: four 4x4s of an 8x8; sl 6: four
+                8x8s of a 16x16) applied in q order against a locally
+                updated window, so each sub-block's taps read exactly the
+                pixels the plain op sequence would (inner neighbors come
+                from the just-predicted sub-blocks, outer from the
+                plane)."""
+                avt = w2 & 1
+                avl = (w2 >> 1) & 1
+                c24, g, o = rmw_load(rr)
+                a = roll(roll(c24, -o, 0), -(cc - 1), 1)
+                aq = a[:, :40]   # [0,0] = (rr-1, cc-1); 40 cols cover the
+                #                  16x16 group + 16 above-right taps
+                rmax = resid_ref.shape[0] - 1
+                ri = w3
+                off = 10 if ssz == 4 else 0
+                rc24i = jax.lax.broadcasted_iota(jnp.int32, (24, 1), 0)
+                lr40 = jax.lax.broadcasted_iota(jnp.int32, (1, 40), 1)
+                out16 = jnp.zeros((16, 16), jnp.int32)
+                for q in range(4):
+                    ro, co = ssz * (q >> 1), ssz * (q & 1)
+                    nib = (w0 >> (5 + 4 * q)) & 0xF
+                    present = nib != 0xF
+                    mode = jnp.minimum(nib + off, 19)
+                    hasq = (w0 >> (21 + q)) & 1
+                    trow32 = aq[ro:ro + 1, co:co + 32]
+                    # left column rows rr+ro..: a direct (16,1) slice when
+                    # it fits; the bottom 8x8 quads (ro=8) go through a
+                    # rotated twin whose wrapped last row is the taps row
+                    # (l-weight zero for every mode here).  Plain offset
+                    # slices are fine — only PADS of offset-carrying
+                    # slices trip Mosaic's concat lowering.
+                    if ro + 17 <= 24:
+                        l16 = aq[ro + 1:ro + 17, co:co + 1]
+                    else:
+                        l16 = roll(aq, -1, 0)[ro:ro + 16, co:co + 1]
+                    avtq = avt if q < 2 else 1
+                    avlq = avl if (q & 1) == 0 else 1
+                    pred16 = pred_dir(trow32, l16, mode, ssz,
+                                      2 if ssz == 4 else 3, avtq, avlq)
+                    row = resid_ref[pl.ds(jnp.minimum(ri, rmax), 1),
+                                    :].astype(jnp.float32)
+                    res16 = jnp.pad(reshape_res8(row), ((0, 8), (0, 8)))
+                    outb = jnp.where(hasq == 1,
+                                     jnp.clip(pred16 + res16, 0, 255),
+                                     pred16)
+                    ri = ri + hasq
+                    # paste the finished sub-block into the local window
+                    # (static offsets: no rolls; offset-0 pad input)
+                    op24 = jnp.pad(outb[:ssz, :ssz],
+                                   ((ro + 1, 23 - ro - ssz),
+                                    (co + 1, 39 - co - ssz)))
+                    selq = (((rc24i >= ro + 1) & (rc24i < ro + 1 + ssz))
+                            & ((lr40 >= co + 1) & (lr40 < co + 1 + ssz)))
+                    aq = jnp.where(jnp.logical_and(present, selq), op24,
+                                   aq)
+                    # offset-0 commit accumulation: only PRESENT quads
+                    # select into the plane, so absent regions never need
+                    # the window values back
+                    o16 = jnp.pad(outb[:ssz, :ssz],
+                                  ((ro, 16 - ro - ssz), (co, 16 - co - ssz)))
+                    q16 = (((ii16 >= ro) & (ii16 < ro + ssz))
+                           & ((jj16 >= co) & (jj16 < co + ssz)))
+                    out16 = jnp.where(jnp.logical_and(present, q16), o16,
+                                      out16)
+                placed = place24(out16, cc, o)
+                # exact union of the present quads' rects
+                sel = jnp.zeros((24, SP), jnp.int32) > 0
+                for q in range(4):
+                    ro, co = ssz * (q >> 1), ssz * (q & 1)
+                    nibq = (w0 >> (5 + 4 * q)) & 0xF
+                    pq = nibq != 0xF
+                    sel = sel | (pq
+                                 & ((rc24 >= o + 1 + ro)
+                                    & (rc24 < o + 1 + ro + ssz))
+                                 & ((lr_sp >= cc + co)
+                                    & (lr_sp < cc + co + ssz)))
+                rmw_commit(jnp.where(sel, placed, c24), g)
+
+            def _intra_uv():
+                """Chroma U+V intra pair: both 8x8 predictions of one MB
+                (same mode) from one 2-group window, committed in one
+                placement pass — the halves' taps are independent (V's
+                left column lies in the V half even at the U/V seam)."""
+                mode = (w0 >> 5) & 0x1F
+                hasu = (w0 >> 10) & 1
+                hasv = (w0 >> 11) & 1
+                avt = jnp.where(rr != MR + H, 1, 0)
+                avl = jnp.where(cc != MCOL, 1, 0)
+                basec = rr - 1
+                g2 = basec >> 3
+                o2 = basec & 7
+                c16 = chroma_win(g2)
+                a = roll(roll(c16, -o2, 0), -(cc - 1), 1)
+                trow_u = a[0:1, 0:32]
+                trow_v = a[0:1, S // 2:S // 2 + 32]
+                # left columns via the rotated twin (offset-0 16-row
+                # slices; the wrapped last row's l-weight is zero)
+                av = roll(a, -1, 0)
+                lu = av[0:16, 0:1]
+                lv = av[0:16, S // 2:S // 2 + 1]
+                predu = pred_dir(trow_u, lu, mode, 8, 3, avt, avl)
+                predv = pred_dir(trow_v, lv, mode, 8, 3, avt, avl)
+                rmax = resid_ref.shape[0] - 1
+                rowu = resid_ref[pl.ds(jnp.minimum(w3, rmax), 1),
+                                 :].astype(jnp.float32)
+                rowv = resid_ref[pl.ds(jnp.minimum(w3 + hasu, rmax), 1),
+                                 :].astype(jnp.float32)
+                resu = reshape_res8(rowu)
+                resv = reshape_res8(rowv)
+                outu = jnp.where(hasu == 1,
+                                 jnp.clip(predu[:8, :8] + resu, 0, 255),
+                                 predu[:8, :8])
+                outv = jnp.where(hasv == 1,
+                                 jnp.clip(predv[:8, :8] + resv, 0, 255),
+                                 predv[:8, :8])
+                puv = (jnp.pad(outu, ((0, 8), (0, SP - 8)))
+                       + jnp.pad(outv, ((0, 8), (S // 2, SP - 8 - S // 2))))
+                placed = roll(roll(puv, cc, 1), o2 + 1, 0)
+                rowm = (rc16s >= o2 + 1) & (rc16s < o2 + 1 + 8)
+                colm = (((lr_sp >= cc) & (lr_sp < cc + 8))
+                        | ((lr_sp >= cc + S // 2)
+                           & (lr_sp < cc + S // 2 + 8)))
+                new16 = jnp.where(rowm & colm, placed, c16)
+                curc[0] = new16[:8]
+                curc[1] = new16[8:16]
+                chroma_commit(g2)
+
             def _intra():
+                isl = (w0 >> 2) & 7
+
+                @pl.when(isl == 5)
+                def _q4():
+                    _intra_quad(4)
+
+                @pl.when(isl == 6)
+                def _q8():
+                    _intra_quad(8)
+
+                @pl.when(isl == 7)
+                def _uvp():
+                    _intra_uv()
+
+                @pl.when(isl < 5)
+                def _intra_single():
+                    _intra_one()
+
+            def _intra_one():
                 size = 1 << ((w0 >> 2) & 7)
                 mode = (w0 >> 5) & 0x1F
                 has = (w0 >> 10) & 1
@@ -828,53 +1022,10 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
 
                 @pl.when(jnp.logical_not(is_plane))
                 def _directional():
-                    # --- weighted LUT matmuls give the finished
-                    # directional prediction (kinds folded into weights,
-                    # uniform floor(x+0.5)); DC overrides for modes 3/13
-                    l16f = l16.astype(jnp.float32)
-                    lrow = jnp.dot(ones16, l16f * eye16,
-                                   preferred_element_type=jnp.float32,
-                                   precision=_HP)      # (1,16) transpose
-                    trb = trow32.astype(jnp.bfloat16)
-                    lrb = lrow.astype(jnp.bfloat16)
-                    if "iluts" in _PROBE_SKIP:
-                        pdir = jnp.zeros((1, 256), jnp.int32)
-                    else:
-                        pdir = (jnp.dot(trb, wt_ref[mode],
-                                        preferred_element_type=jnp.float32)
-                                + jnp.dot(lrb, wl_ref[mode],
-                                          preferred_element_type=jnp.float32
-                                          )
-                                + 0.5).astype(jnp.int32)
-                    # --- DC value with edge availability (:1920-2022)
                     npx = jnp.where(size == 4, 4, 8)
                     logn = jnp.where(size == 4, 2, 3)
-                    # (measured: cross-lane jnp.sum beats tiny MXU dots
-                    # here — f32-HIGHEST and bf16 dots both slower)
-                    if "idc" in _PROBE_SKIP:
-                        sum_t = sum_l = 0x80
-                    else:
-                        sum_t = jnp.sum(jnp.where(jr1 < npx, t16, 0))
-                        sum_l = jnp.sum(jnp.where(ic1 < npx, l16, 0))
-                    dc = jnp.where(
-                        (avt == 1) & (avl == 1),
-                        (sum_t + sum_l + npx) >> (logn + 1),
-                        jnp.where((avt == 1),
-                                  (sum_t + (npx >> 1)) >> logn,
-                                  jnp.where((avl == 1),
-                                            (sum_l + (npx >> 1)) >> logn,
-                                            0x80)))
-                    is_dc = (mode == 3) | (mode == 13)
-                    pred256 = jnp.where(is_dc, dc, pdir)
-                    if "ipred" in _PROBE_SKIP:
-                        pred16 = jnp.zeros((16, 16), jnp.int32)
-                    else:
-                        # bf16 exact: pred256 in 0..255, matrices one-hot
-                        predb = rm1_16 * pred256.astype(jnp.bfloat16)
-                        pred16 = jnp.dot(predb, rm2_16,
-                                         preferred_element_type=jnp.float32
-                                         ).astype(jnp.int32)
-                    icommit(pred16)
+                    icommit(pred_dir(trow32, l16, mode, npx, logn, avt,
+                                     avl))
 
                 @pl.when(is_plane)
                 def _plane():
@@ -1159,6 +1310,11 @@ def _op_nrows(w0: int) -> int:
             return bin((w0 >> 5) & 0x3).count("1")
         return 1
     if typ == OP_INTRA:
+        sl = (w0 >> 2) & 7
+        if sl in (5, 6):                       # luma quad batch
+            return bin((w0 >> 21) & 0xF).count("1")
+        if sl == 7:                            # chroma U+V pair
+            return bin((w0 >> 10) & 0x3).count("1")
         return (w0 >> 10) & 1
     if typ == OP_MC:
         return bin((w0 >> 3) & 0x3F).count("1")

@@ -77,8 +77,6 @@ struct PlanSink {
   int g_nnz_cap = 0, g_nnz = 0;
   uint32_t *g_szbits = nullptr;
   bool g_val_overflow = false;      // some |coef| > int16 (val entry clipped)
-  const int32_t *g_pend = nullptr;  // coef row deferred to its op's chunk
-  int g_pend_size = 0;
 
   // quad-merge peephole (mirrors models/plan.py pack_unified emit_resid):
   // consecutive 4x4 residuals of one 8x8 fold into a single size-8-region
@@ -108,6 +106,23 @@ struct PlanSink {
   int pd_pid = 0, pd_my = 0, pd_mx = 0, pd_mask = 0, pd_last = -1, pd_n = 0;
   int32_t pd_rows[4][64];
   int pd_sizes[4];
+
+  // intra-batch peepholes (mirror plan.py pack_unified emit_intra):
+  // consecutive directional luma intra ops of one parent 8x8/16x16 fold
+  // into a quad-batch op (size_log 5/6: mode nibbles @5..20, 0xF absent,
+  // has bits @21..24); a chroma U+V intra pair folds into one pair op
+  // (size_log 7: mode@5..9, has_u@10, has_v@11).  Plane modes (2/12),
+  // pass-throughs and any other op break a batch.
+  bool ib_active = false;
+  int ib_size = 8, ib_by = 0, ib_bx = 0, ib_lastq = -1, ib_n = 0;
+  int ib_q[4], ib_mode[4], ib_has[4];
+  int32_t ib_rows[4][64];
+  int ib_sizes[4];
+  int ib_nrows = 0;
+  bool iv_active = false;  // held U-half candidate of a chroma pair
+  int iv_y = 0, iv_x = 0, iv_mode = 0, iv_has = 0;
+  int32_t iv_rows[2][64];
+  int iv_sizes[2];
 };
 
 struct Scanner {
@@ -232,24 +247,10 @@ struct Scanner {
   static int size_log(int size) {
     return size == 2 ? 1 : size == 4 ? 2 : size == 8 ? 3 : 4;
   }
-  int u_coef_row(const int32_t *dense, int size) {
-    if (sink->g_ops3) {  // GOP mode: defer to the op row's chunk (g_emit)
-      sink->g_pend = dense;
-      sink->g_pend_size = size;
-      return 0;
-    }
-    if (sink->ucoef_n >= sink->ucoef_cap) { sink->overflow = true; return 0; }
-    int k = sink->ucoef_n++;
-    int32_t *c = sink->ucoef + 64 * k;
-    memset(c, 0, 64 * 4);
-    memcpy(c, dense, size * size * 4);
-    sink->usize[k] = size;
-    return k;
-  }
   void u_row(int32_t w0, int32_t w1, int32_t w2, int32_t w3) {
     if (sink->g_ops3) {
-      (void)w3;  // chunk-local coef index is assigned by g_emit
-      g_emit(w0, w1 & 0xFFFF, w1 >> 16, w2);
+      (void)w3;  // row-less ops: emit_op_rows with n=0 (one close path)
+      emit_op_rows(w0, w1 & 0xFFFF, w1 >> 16, w2, nullptr, nullptr, 0);
       return;
     }
     if (sink->uops_n >= sink->uops_cap) { sink->overflow = true; return; }
@@ -281,43 +282,6 @@ struct Scanner {
     c[0] = k->g_row - 1;                 // A: w0 = count (w3 = last < 256)
     c[1] = int32_t(uint32_t(k->g_frame) | (uint32_t(last) << 24));  // B: rr = frame, cc = 0
     c[2] = k->g_first;                   // C: w2 = first flag
-  }
-  void g_emit(int32_t w0, int32_t rr, int32_t cc, int32_t w2) {
-    PlanSink *k = sink;
-    // chunk full (op rows) or coefficient block full (fused MCs carry up
-    // to 6 rows each, so coef slots can fill first; spec:
-    // ops/vmem_engine.py _frame_chunk_spans)
-    if (k->g_row == kChunk || (k->g_pend && k->g_crow >= kChunk)) {
-      g_close_chunk(0);
-      g_open_chunk(0);
-      if (k->overflow) return;
-    }
-    int32_t w3 = 0;
-    if (k->g_pend) {
-      w3 = k->g_crow;
-      int row = (k->g_nct - 1) * kChunk + k->g_crow;
-      int32_t base = row * 64;
-      int n = k->g_pend_size * k->g_pend_size;
-      for (int p = 0; p < n; p++) {       // ascending == np.flatnonzero
-        int32_t v = k->g_pend[p];
-        if (!v) continue;
-        if (k->g_nnz >= k->g_nnz_cap) { k->overflow = true; return; }
-        if (v < -32768 || v > 32767) k->g_val_overflow = true;
-        k->g_idx[k->g_nnz] = base + p;
-        k->g_val[k->g_nnz] = int16_t(v);
-        k->g_nnz++;
-      }
-      if (k->g_pend_size == 4)
-        k->g_szbits[row >> 5] |= uint32_t(1) << (row & 31);
-      k->g_crow++;
-      k->g_pend = nullptr;
-    }
-    int32_t *r = k->g_ops3
-        + (size_t(k->g_nct - 1) * kChunk + size_t(k->g_row)) * 3;
-    r[0] = w0;
-    r[1] = int32_t(uint32_t(rr) | (uint32_t(cc) << 12) | (uint32_t(w3) << 24));
-    r[2] = w2;
-    k->g_row++;
   }
   // shared emission of one op row + its n deferred coefficient rows
   // (atomic per chunk: 1 op row + n coef rows never split; offline spec =
@@ -470,6 +434,8 @@ struct Scanner {
   void u_mc(int y, int x, int w, int h, int ref, int dx, int dy) {
     fz_flush();
     pd_flush();
+    ib_flush();
+    iv_flush();
     sink->q_pid = -1;
     int32_t w0 = 1 | (ref << 13) | (w << 16) | (h << 21);
     int32_t w2 = int32_t((uint32_t(dx) & 0xFFFF) | (uint32_t(dy) << 16));
@@ -491,6 +457,11 @@ struct Scanner {
 
   void u_resid(int pid, int y, int x, int size, const int32_t *dense) {
     PlanSink *s2 = sink;
+    // a residual (incl. 9/19 pass-through) between intra ops breaks the
+    // intra batches; the quad-merge continuation below can never target
+    // a batch row (intra arrival resets q_pid), so flushing first is safe
+    ib_flush();
+    iv_flush();
     if (size == 4) {
       int b = ((y >> 2) & 1) * 2 + ((x >> 2) & 1);
       if (s2->q_pid == pid && s2->q_y8 == (y >> 3)
@@ -518,6 +489,51 @@ struct Scanner {
     if (fz_try(pid, y, x, dense, 8, 0)) return;
     pd_add(pid, y, x, dense, 8, 0);
   }
+  void plain_intra(int pid, int y, int x, int size, int mode, int grad,
+                   int has, int32_t rows[][64], const int *sz) {
+    int S = stride;
+    int half = (pid == 1 && x >= S / 2) ? S / 2 : 0;
+    int avl = (x - half) != 0;
+    int avt = y != 0;
+    emit_op_rows(3 | (size_log(size) << 2) | (mode << 5) | (has << 10)
+                     | (avt << 11) | (avl << 12),
+                 8 + y + (pid ? height : 0), 8 + x, grad,
+                 rows, sz, has ? 1 : 0);
+  }
+  void ib_flush() {
+    PlanSink *k = sink;
+    if (!k->ib_active) return;
+    k->ib_active = false;
+    int size = k->ib_size;
+    if (k->ib_n == 1) {
+      int q = k->ib_q[0];
+      int y = k->ib_by + size * (q >> 1), x = k->ib_bx + size * (q & 1);
+      plain_intra(0, y, x, size, k->ib_mode[0], 0, k->ib_has[0],
+                  k->ib_rows, k->ib_sizes);
+      return;
+    }
+    int off = size == 4 ? 10 : 0;
+    int32_t w0 = 3 | ((size == 4 ? 5 : 6) << 2);
+    int hasbits = 0;
+    for (int q = 0; q < 4; q++) w0 |= 0xF << (5 + 4 * q);
+    for (int i = 0; i < k->ib_n; i++) {
+      int q = k->ib_q[i];
+      w0 &= ~(0xF << (5 + 4 * q));
+      w0 |= (k->ib_mode[i] - off) << (5 + 4 * q);
+      if (k->ib_has[i]) hasbits |= 1 << q;
+    }
+    w0 |= hasbits << 21;
+    int32_t w2 = (k->ib_by != 0 ? 1 : 0) | (k->ib_bx != 0 ? 2 : 0);
+    emit_op_rows(w0, 8 + k->ib_by, 8 + k->ib_bx, w2, k->ib_rows,
+                 k->ib_sizes, k->ib_nrows);
+  }
+  void iv_flush() {
+    PlanSink *k = sink;
+    if (!k->iv_active) return;
+    k->iv_active = false;
+    plain_intra(1, k->iv_y, k->iv_x, 8, k->iv_mode, 0, k->iv_has,
+                k->iv_rows, k->iv_sizes);
+  }
   void u_intra(int pid, int y, int x, int size, int mode, int grad,
                int has, const int32_t *dense) {
     fz_flush();
@@ -527,14 +543,81 @@ struct Scanner {
     }
     pd_flush();
     sink->q_pid = -1;
-    int S = stride;
-    int half = (pid == 1 && x >= S / 2) ? S / 2 : 0;
-    int avl = (x - half) != 0;
-    int avt = y != 0;
-    int k = has ? u_coef_row(dense, size) : 0;
-    u_row(3 | (size_log(size) << 2) | (mode << 5) | (has << 10)
-              | (avt << 11) | (avl << 12),
-          (8 + y + (pid ? height : 0)) | ((8 + x) << 16), grad, k);
+    PlanSink *k = sink;
+    if (pid == 0 && (size == 4 || size == 8) && mode != 2 && mode != 12) {
+      int by = y & ~(2 * size - 1), bx = x & ~(2 * size - 1);
+      int q = ((y - by) / size) * 2 + ((x - bx) / size);
+      if (!(k->ib_active && k->ib_size == size && k->ib_by == by
+            && k->ib_bx == bx && q > k->ib_lastq)) {
+        ib_flush();
+        iv_flush();
+        k->ib_active = true;
+        k->ib_size = size;
+        k->ib_by = by;
+        k->ib_bx = bx;
+        k->ib_lastq = -1;
+        k->ib_n = 0;
+        k->ib_nrows = 0;
+      }
+      int i = k->ib_n++;
+      k->ib_q[i] = q;
+      k->ib_mode[i] = mode;
+      k->ib_has[i] = has;
+      k->ib_lastq = q;
+      if (has) {
+        int r = k->ib_nrows++;
+        memset(k->ib_rows[r], 0, 64 * 4);
+        memcpy(k->ib_rows[r], dense, size * size * 4);
+        k->ib_sizes[r] = size;
+      }
+      return;
+    }
+    if (pid == 1 && size == 8 && mode != 2) {
+      if (k->iv_active && y == k->iv_y && x == k->iv_x + stride / 2
+          && mode == k->iv_mode) {
+        // complete U+V pair -> one op
+        k->iv_active = false;
+        int n = 0;
+        if (k->iv_has) n = 1;
+        if (has) {
+          memset(k->iv_rows[n], 0, 64 * 4);
+          memcpy(k->iv_rows[n], dense, size * size * 4);
+          k->iv_sizes[n] = size;
+          n++;
+        }
+        emit_op_rows(3 | (7 << 2) | (mode << 5) | (k->iv_has << 10)
+                         | (has << 11),
+                     8 + height + y, 8 + k->iv_x, 0, k->iv_rows,
+                     k->iv_sizes, n);
+        return;
+      }
+      iv_flush();
+      ib_flush();
+      if (x < stride / 2) {
+        k->iv_active = true;
+        k->iv_y = y;
+        k->iv_x = x;
+        k->iv_mode = mode;
+        k->iv_has = has;
+        if (has) {
+          memset(k->iv_rows[0], 0, 64 * 4);
+          memcpy(k->iv_rows[0], dense, size * size * 4);
+          k->iv_sizes[0] = size;
+        }
+        return;
+      }
+      // V-half single (no held U): plain emission below
+    }
+    ib_flush();
+    iv_flush();
+    int32_t one_row[1][64];
+    int one_sz[1];
+    if (has) {
+      memset(one_row[0], 0, 64 * 4);
+      memcpy(one_row[0], dense, size * size * 4);
+      one_sz[0] = size;
+    }
+    plain_intra(pid, y, x, size, mode, grad, has, one_row, one_sz);
   }
 
   void record_mc(int w, int h, int ref, int dx, int dy, int off) {
@@ -1010,6 +1093,8 @@ struct Scanner {
     if (sink->uops || sink->g_ops3) {
       fz_flush();
       pd_flush();
+      ib_flush();
+      iv_flush();
     }
     return offset;
   }
@@ -1157,10 +1242,11 @@ int scanner_scan_gop(void *ctx, const uint8_t *data, const int32_t *pkt_off,
     sink.g_frame = f;
     sink.overflow = false;
     sink.bad = false;
-    sink.g_pend = nullptr;
     sink.q_pid = -1;   // quad peephole never crosses a frame edge
     sink.fz_active = false;  // nor do the deferred-emission peepholes
     sink.pd_active = false;  // (a failed frame may leave them mid-build)
+    sink.ib_active = false;
+    sink.iv_active = false;
     s->g_open_chunk(1);
     if (sink.overflow) {       // chunk capacity already full at frame start
       sink.g_nct = nct0;

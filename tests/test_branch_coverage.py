@@ -134,6 +134,26 @@ _EXCLUSIONS: dict[tuple[str, str, str], str] = {
         "before pend_add), so the consecutiveness guard never fails — "
         "it pins the invariant the C++ scanner's deferred-buffer design "
         "relies on",
+    ("pack_unified.<locals>.emit_intra",
+     'and q > ibat["lastq"]):', "fall"):
+        "within a contiguous intra run of one parent block, decode order "
+        "visits sub-blocks in ascending q; a same-parent revisit is only "
+        "reachable after another op flushed the batch, which the on/base "
+        "operands catch first (their false directions fire)",
+    ("pack_unified.<locals>.emit_intra",
+     'if (ivb["on"] and y == ivb["y"] and x == ivb["x"] + S // 2',
+     "taken"):
+        "the y/x operands: when a U-half candidate is held, the next "
+        "chroma intra op is always its V partner (any intervening op "
+        "flushes the hold, making the on operand false — that direction "
+        "fires); a same-MB chroma pair always has y_v == y_u and "
+        "x_v == x_u + S/2",
+    ("pack_unified.<locals>.emit_intra",
+     'and mode == ivb["mode"]):', "taken"):
+        "U and V of one MB share the single 3-bit chroma mode "
+        "(MobiclipDecoder.cs loc_116290), so the pair's modes are always "
+        "equal; the guard pins the invariant the one-mode pair op "
+        "encoding relies on",
     ("pack_unified.<locals>.emit_resid",
      'if quad["key"] == key and b > quad["b"]:', "taken"):
         "the `b > quad[\"b\"]` operand: sub-4x4 emissions arrive in "
@@ -473,11 +493,15 @@ def _cpp_corpus(native_mod):
     nv = NativePlanner(64, 48, int(v))
     nv.scan_gop_packed([s.iframe(2), s.pframe(dq=-3), s.pframe(dq=5),
                        s.iframe(0x3F, table=1), s.pframe(dq=7)])
-    # headline-size frames: >255 ops/frame force multi-chunk frames and
-    # chunk closes landing inside a fused-MC flush
-    s = StreamSynthesizer(256, 192, MobiclipVersion.MODS_DS, seed=21)
-    nv = NativePlanner(256, 192, int(MobiclipVersion.MODS_DS))
-    nv.scan_gop_packed([s.iframe(0x18)] + [s.pframe() for _ in range(4)])
+    # headline-size frames: >255 ops/frame force multi-chunk frames, with
+    # chunk closes landing on every emission form (fused-MC flushes,
+    # batched-residual/intra flushes, row-less MC leaves) across enough
+    # frames that each boundary class occurs
+    for seed in (21, 23):
+        s = StreamSynthesizer(256, 192, MobiclipVersion.MODS_DS, seed=seed)
+        nv = NativePlanner(256, 192, int(MobiclipVersion.MODS_DS))
+        nv.scan_gop_packed([s.iframe(0x18)]
+                           + [s.pframe() for _ in range(10)])
     # output-capacity overflow paths: per-array caps (scan/scan_unified)
     # and the whole-GOP chunk/nnz caps with their frame-edge rewinds
     s = StreamSynthesizer(64, 48, MobiclipVersion.MODS_DS, seed=22)
