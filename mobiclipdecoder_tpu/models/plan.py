@@ -178,12 +178,77 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
     # sequence pixel-for-pixel.
     pend = {"on": False, "pid": 0, "my": 0, "mx": 0,
             "mask": 0, "first": 0, "n": 0, "last": -1}
+    # split-MB leaf deferral: a split MB's leaf MC ops buffer until its
+    # luma residual section resolves, so residual quads can ATTACH to the
+    # covering leaf (same mask/rows encoding as the 16x16 MC fusion — the
+    # kernel's fold is leaf-size-agnostic).  Order is preserved: leaves
+    # always append before any later op row.
+    leaves: list[list] = []   # [w0, w1, w2, w3, ly, lx, w, h, nrows]
+    leaf_mb = {"my": -1, "mx": -1}
+
+    def flush_leaves():
+        for lf in leaves:
+            rows.append((lf[0], lf[1], lf[2], lf[3]))
+        leaves.clear()
+
+    def try_attach(first, mask):
+        """Attach the luma pend's quads to covering leaves; True when ALL
+        quads attach (each leaf's rows a contiguous ascending run)."""
+        if not leaves:
+            return False
+        my, mx = pend["my"], pend["mx"]
+        if (my, mx) != (leaf_mb["my"], leaf_mb["mx"]):
+            return False
+        # validation pass (no mutation): every quad must land in a
+        # covering leaf, visiting leaves in non-decreasing order with
+        # ascending bits — which makes each leaf's absorbed rows a
+        # contiguous run of the pend's (already consecutive) rows
+        plan_rows = []     # (leaf index, leaf-relative bit)
+        li_last = -1
+        bit_last = -1
+        for b in range(4):
+            if not (mask >> b) & 1:
+                continue
+            ry = my + 8 * (b >> 1)
+            rx = mx + 8 * (b & 1)
+            hit = -1
+            for li, lf in enumerate(leaves):
+                ly, lx, w, h = lf[4], lf[5], lf[6], lf[7]
+                if (ly <= ry and ry + 8 <= ly + h
+                        and lx <= rx and rx + 8 <= lx + w):
+                    hit = li
+                    break
+            if hit < 0:
+                return False
+            bit = ((ry - leaves[hit][4]) >> 3) * 2 \
+                + ((rx - leaves[hit][5]) >> 3)
+            if hit < li_last:
+                return False        # revisiting an earlier leaf would
+                                    # split its row run
+            if hit == li_last and bit <= bit_last:
+                return False
+            plan_rows.append((hit, bit))
+            li_last = hit
+            bit_last = bit
+        k = first
+        for hit, bit in plan_rows:
+            lf = leaves[hit]
+            if lf[8] == 0:
+                lf[3] = k
+            lf[0] |= 1 << (3 + bit)
+            lf[8] += 1
+            k += 1
+        return True
 
     def flush_pend():
         if not pend["on"]:
             return
         pend["on"] = False
         pid, mask, first = pend["pid"], pend["mask"], pend["first"]
+        if pid == 0 and try_attach(first, mask):
+            flush_leaves()
+            return
+        flush_leaves()
         if pend["n"] == 1:
             # single region: the plain 8x8 form is cheaper in-kernel
             bit = mask.bit_length() - 1
@@ -285,6 +350,7 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
                      ivb["k"])
 
     def emit_intra(pid, y, x, size, mode, grad, cf):
+        flush_leaves()
         has = int(cf is not None)
         k = coef_row(cf[0], size) if has else 0
         if pid == 0 and size in (4, 8) and mode not in (2, 12):
@@ -363,10 +429,17 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
             if w2 >= 1 << 31:
                 w2 -= 1 << 32
             if w == 16 and h == 16:
+                flush_leaves()
                 fuse.update(idx=len(rows), y=y, x=x, last=-1, n=0)
+                rows.append((w0, (mr + y) | ((mcol + x) << 16), w2, 0))
             else:
                 fuse["idx"] = -1
-            rows.append((w0, (mr + y) | ((mcol + x) << 16), w2, 0))
+                my, mx = y & ~15, x & ~15
+                if (my, mx) != (leaf_mb["my"], leaf_mb["mx"]):
+                    flush_leaves()
+                    leaf_mb.update(my=my, mx=mx)
+                leaves.append([w0, (mr + y) | ((mcol + x) << 16), w2, 0,
+                               y, x, w, h, 0])
         elif kind == "resid":
             _, pid, y, x, size, (dense, _last) = op
             emit_resid(pid, y, x, size, dense)
@@ -384,6 +457,7 @@ def pack_unified(ops: list[tuple], stride: int, height: int,
     flush_pend()
     flush_ibat()
     flush_ivb()
+    flush_leaves()
     ops_arr = np.zeros((len(rows) + 1, 4), np.int32)
     ops_arr[0, 0] = len(rows)
     if rows:

@@ -792,12 +792,18 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                     chroma_commit(g2)
 
             # -------------------------------------------------- intra (3)
-            def pred_dir(trow32, l16, mode, npx, logn, avt, avl):
+            def pred_dir(trow32, l16, mode, npx, logn, avt, avl,
+                         wtm=None, wlm=None):
                 """Finished directional/DC prediction as a (16,16) block:
                 weighted tap-select LUT matmuls (kinds folded into
                 weights, uniform floor(x+0.5)) with the DC-with-edge-
                 availability override for modes 3/13 (:1920-2022).
-                trow32 (1,32): corner @0, t[k] @1+k; l16 (16,1)."""
+                trow32 (1,32): corner @0, t[k] @1+k; l16 (16,1).
+                wtm/wlm: pre-loaded LUT slices (callers inside value
+                branches hoist the ref reads)."""
+                if wtm is None:
+                    wtm = wt_ref[mode]
+                    wlm = wl_ref[mode]
                 l16f = l16.astype(jnp.float32)
                 lrow = jnp.dot(ones16, l16f * eye16,
                                preferred_element_type=jnp.float32,
@@ -807,9 +813,9 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                 if "iluts" in _PROBE_SKIP:
                     pdir = jnp.zeros((1, 256), jnp.int32)
                 else:
-                    pdir = (jnp.dot(trb, wt_ref[mode],
+                    pdir = (jnp.dot(trb, wtm,
                                     preferred_element_type=jnp.float32)
-                            + jnp.dot(lrb, wl_ref[mode],
+                            + jnp.dot(lrb, wlm,
                                       preferred_element_type=jnp.float32)
                             + 0.5).astype(jnp.int32)
                 t16 = trow32[:, 1:17]
@@ -862,46 +868,59 @@ def _make_kernel(H: int, S: int, G8: int, SP: int, interpret: bool,
                     present = nib != 0xF
                     mode = jnp.minimum(nib + off, 19)
                     hasq = (w0 >> (21 + q)) & 1
-                    trow32 = aq[ro:ro + 1, co:co + 32]
-                    # left column rows rr+ro..: a direct (16,1) slice when
-                    # it fits; the bottom 8x8 quads (ro=8) go through a
-                    # rotated twin whose wrapped last row is the taps row
-                    # (l-weight zero for every mode here).  Plain offset
-                    # slices are fine — only PADS of offset-carrying
-                    # slices trip Mosaic's concat lowering.
-                    if ro + 17 <= 24:
-                        l16 = aq[ro + 1:ro + 17, co:co + 1]
-                    else:
-                        l16 = roll(aq, -1, 0)[ro:ro + 16, co:co + 1]
-                    avtq = avt if q < 2 else 1
-                    avlq = avl if (q & 1) == 0 else 1
-                    pred16 = pred_dir(trow32, l16, mode, ssz,
-                                      2 if ssz == 4 else 3, avtq, avlq)
+                    # ref reads hoisted out of the skippable value branch
+                    wtm = wt_ref[mode]
+                    wlm = wl_ref[mode]
                     row = resid_ref[pl.ds(jnp.minimum(ri, rmax), 1),
                                     :].astype(jnp.float32)
-                    res16 = jnp.pad(reshape_res8(row), ((0, 8), (0, 8)))
-                    outb = jnp.where(hasq == 1,
-                                     jnp.clip(pred16 + res16, 0, 255),
-                                     pred16)
+                    avtq = avt if q < 2 else 1
+                    avlq = avl if (q & 1) == 0 else 1
+
+                    def _compute(aq, out16, q=q, ro=ro, co=co, mode=mode,
+                                 hasq=hasq, wtm=wtm, wlm=wlm, row=row,
+                                 avtq=avtq, avlq=avlq):
+                        trow32 = aq[ro:ro + 1, co:co + 32]
+                        # left column rows rr+ro..: a direct (16,1) slice
+                        # when it fits; the bottom 8x8 quads (ro=8) use a
+                        # rotated twin whose wrapped last row is the taps
+                        # row (l-weight zero here).  Plain offset slices
+                        # are fine — only PADS of offset-carrying slices
+                        # trip Mosaic's concat lowering.
+                        if ro + 17 <= 24:
+                            l16 = aq[ro + 1:ro + 17, co:co + 1]
+                        else:
+                            l16 = roll(aq, -1, 0)[ro:ro + 16, co:co + 1]
+                        pred16 = pred_dir(trow32, l16, mode, ssz,
+                                          2 if ssz == 4 else 3, avtq,
+                                          avlq, wtm, wlm)
+                        res16 = jnp.pad(reshape_res8(row),
+                                        ((0, 8), (0, 8)))
+                        outb = jnp.where(hasq == 1,
+                                         jnp.clip(pred16 + res16, 0, 255),
+                                         pred16)
+                        # paste the finished sub-block into the local
+                        # window (static offset-0 pads: no rolls)
+                        op24 = jnp.pad(outb[:ssz, :ssz],
+                                       ((ro + 1, 23 - ro - ssz),
+                                        (co + 1, 39 - co - ssz)))
+                        selq = (((rc24i >= ro + 1)
+                                 & (rc24i < ro + 1 + ssz))
+                                & ((lr40 >= co + 1)
+                                   & (lr40 < co + 1 + ssz)))
+                        aq = jnp.where(selq, op24, aq)
+                        o16 = jnp.pad(outb[:ssz, :ssz],
+                                      ((ro, 16 - ro - ssz),
+                                       (co, 16 - co - ssz)))
+                        q16 = (((ii16 >= ro) & (ii16 < ro + ssz))
+                               & ((jj16 >= co) & (jj16 < co + ssz)))
+                        return aq, jnp.where(q16, o16, out16)
+
+                    # absent slots skip the whole prediction chain (a
+                    # real branch, not a masked select)
+                    aq, out16 = jax.lax.cond(present, _compute,
+                                             lambda a, o: (a, o),
+                                             aq, out16)
                     ri = ri + hasq
-                    # paste the finished sub-block into the local window
-                    # (static offsets: no rolls; offset-0 pad input)
-                    op24 = jnp.pad(outb[:ssz, :ssz],
-                                   ((ro + 1, 23 - ro - ssz),
-                                    (co + 1, 39 - co - ssz)))
-                    selq = (((rc24i >= ro + 1) & (rc24i < ro + 1 + ssz))
-                            & ((lr40 >= co + 1) & (lr40 < co + 1 + ssz)))
-                    aq = jnp.where(jnp.logical_and(present, selq), op24,
-                                   aq)
-                    # offset-0 commit accumulation: only PRESENT quads
-                    # select into the plane, so absent regions never need
-                    # the window values back
-                    o16 = jnp.pad(outb[:ssz, :ssz],
-                                  ((ro, 16 - ro - ssz), (co, 16 - co - ssz)))
-                    q16 = (((ii16 >= ro) & (ii16 < ro + ssz))
-                           & ((jj16 >= co) & (jj16 < co + ssz)))
-                    out16 = jnp.where(jnp.logical_and(present, q16), o16,
-                                      out16)
                 placed = place24(out16, cc, o)
                 # exact union of the present quads' rects
                 sel = jnp.zeros((24, SP), jnp.int32) > 0

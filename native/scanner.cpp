@@ -123,6 +123,19 @@ struct PlanSink {
   int iv_y = 0, iv_x = 0, iv_mode = 0, iv_has = 0;
   int32_t iv_rows[2][64];
   int iv_sizes[2];
+
+  // split-MB leaf deferral (mirrors plan.py pack_unified leaves): a
+  // split MB's leaf MC ops buffer until its luma residual section
+  // resolves so residual quads can ATTACH to the covering leaf (same
+  // mask/rows encoding as the 16x16 MC fusion).  Attached rows copy
+  // into lv_rows (the pd buffer is reused by the chroma pend).
+  int lv_n = 0, lv_rowtotal = 0;
+  int lv_mb_y = -1, lv_mb_x = -1;
+  int32_t lv_w0[64], lv_rr[64], lv_cc[64], lv_w2v[64];
+  int lv_y[64], lv_x[64], lv_w[64], lv_h[64];
+  int lv_rowstart[64], lv_nrows[64];
+  int32_t lv_rows[4][64];
+  int lv_sizes[4];
 };
 
 struct Scanner {
@@ -342,11 +355,73 @@ struct Scanner {
     emit_op_rows(k->fz_w0, k->fz_rr, k->fz_cc, k->fz_w2, k->fz_rows,
                  k->fz_sizes, k->fz_n);
   }
+  void lv_flush() {
+    PlanSink *k = sink;
+    for (int i = 0; i < k->lv_n; i++) {
+      emit_op_rows(k->lv_w0[i], k->lv_rr[i], k->lv_cc[i], k->lv_w2v[i],
+                   k->lv_rows + k->lv_rowstart[i],
+                   k->lv_sizes + k->lv_rowstart[i], k->lv_nrows[i]);
+    }
+    k->lv_n = 0;
+    k->lv_rowtotal = 0;
+    k->lv_mb_y = -1;
+    k->lv_mb_x = -1;
+  }
+  bool lv_try_attach() {
+    // validation first (no mutation): every luma pend quad must land in
+    // a covering leaf, visiting leaves in non-decreasing order with
+    // ascending leaf-relative bits — each leaf's absorbed rows are then
+    // a contiguous ascending run, as the kernel's fold walk requires
+    PlanSink *k = sink;
+    if (!k->lv_n) return false;
+    if (k->pd_my != k->lv_mb_y || k->pd_mx != k->lv_mb_x) return false;
+    int hits[4], bits[4], m = 0;
+    int li_last = -1, bit_last = -1;
+    for (int b = 0; b < 4; b++) {
+      if (!((k->pd_mask >> b) & 1)) continue;
+      int ry = k->pd_my + 8 * (b >> 1);
+      int rx = k->pd_mx + 8 * (b & 1);
+      int hit = -1;
+      for (int li = 0; li < k->lv_n; li++) {
+        if (k->lv_y[li] <= ry && ry + 8 <= k->lv_y[li] + k->lv_h[li]
+            && k->lv_x[li] <= rx
+            && rx + 8 <= k->lv_x[li] + k->lv_w[li]) {
+          hit = li;
+          break;
+        }
+      }
+      if (hit < 0) return false;
+      int bit = ((ry - k->lv_y[hit]) >> 3) * 2
+          + ((rx - k->lv_x[hit]) >> 3);
+      if (hit < li_last) return false;
+      if (hit == li_last && bit <= bit_last) return false;
+      hits[m] = hit;
+      bits[m] = bit;
+      m++;
+      li_last = hit;
+      bit_last = bit;
+    }
+    for (int i = 0; i < m; i++) {
+      int hit = hits[i];
+      if (k->lv_nrows[hit] == 0) k->lv_rowstart[hit] = k->lv_rowtotal;
+      memcpy(k->lv_rows[k->lv_rowtotal], k->pd_rows[i], 64 * 4);
+      k->lv_sizes[k->lv_rowtotal] = k->pd_sizes[i];
+      k->lv_rowtotal++;
+      k->lv_w0[hit] |= 1 << (3 + bits[i]);
+      k->lv_nrows[hit]++;
+    }
+    return true;
+  }
   void pd_flush() {
     PlanSink *k = sink;
     if (!k->pd_active) return;
     k->pd_active = false;
     k->q_in_pd = false;
+    if (k->pd_pid == 0 && lv_try_attach()) {
+      lv_flush();
+      return;
+    }
+    lv_flush();
     int hofs = k->pd_pid ? height : 0;
     if (k->pd_n == 1) {
       // single region: the plain 8x8 form is cheaper in-kernel
@@ -439,8 +514,9 @@ struct Scanner {
     sink->q_pid = -1;
     int32_t w0 = 1 | (ref << 13) | (w << 16) | (h << 21);
     int32_t w2 = int32_t((uint32_t(dx) & 0xFFFF) | (uint32_t(dy) << 16));
+    PlanSink *k = sink;
     if (w == 16 && h == 16) {
-      PlanSink *k = sink;
+      lv_flush();
       k->fz_active = true;
       k->fz_w0 = w0;
       k->fz_rr = 8 + y;
@@ -452,7 +528,24 @@ struct Scanner {
       k->fz_n = 0;
       return;
     }
-    u_row(w0, (8 + y) | ((8 + x) << 16), w2, 0);
+    // split leaf: defer for residual attachment (plan.py leaves mirror)
+    int my = y & ~15, mx = x & ~15;
+    if (my != k->lv_mb_y || mx != k->lv_mb_x) {
+      lv_flush();
+      k->lv_mb_y = my;
+      k->lv_mb_x = mx;
+    }
+    int i = k->lv_n++;
+    k->lv_w0[i] = w0;
+    k->lv_rr[i] = 8 + y;
+    k->lv_cc[i] = 8 + x;
+    k->lv_w2v[i] = w2;
+    k->lv_y[i] = y;
+    k->lv_x[i] = x;
+    k->lv_w[i] = w;
+    k->lv_h[i] = h;
+    k->lv_rowstart[i] = 0;
+    k->lv_nrows[i] = 0;
   }
 
   void u_resid(int pid, int y, int x, int size, const int32_t *dense) {
@@ -542,6 +635,7 @@ struct Scanner {
       return;
     }
     pd_flush();
+    lv_flush();
     sink->q_pid = -1;
     PlanSink *k = sink;
     if (pid == 0 && (size == 4 || size == 8) && mode != 2 && mode != 12) {
@@ -1095,6 +1189,7 @@ struct Scanner {
       pd_flush();
       ib_flush();
       iv_flush();
+      lv_flush();
     }
     return offset;
   }
@@ -1247,6 +1342,10 @@ int scanner_scan_gop(void *ctx, const uint8_t *data, const int32_t *pkt_off,
     sink.pd_active = false;  // (a failed frame may leave them mid-build)
     sink.ib_active = false;
     sink.iv_active = false;
+    sink.lv_n = 0;
+    sink.lv_rowtotal = 0;
+    sink.lv_mb_y = -1;
+    sink.lv_mb_x = -1;
     s->g_open_chunk(1);
     if (sink.overflow) {       // chunk capacity already full at frame start
       sink.g_nct = nct0;

@@ -134,6 +134,18 @@ _EXCLUSIONS: dict[tuple[str, str, str], str] = {
         "before pend_add), so the consecutiveness guard never fails — "
         "it pins the invariant the C++ scanner's deferred-buffer design "
         "relies on",
+    ("pack_unified.<locals>.try_attach",
+     'if (my, mx) != (leaf_mb["my"], leaf_mb["mx"]):', "fall"):
+        "defensive guard: a luma pend always belongs to the same MB as "
+        "the buffered leaves — the pend flushes (at the next MC/intra) "
+        "before a different MB can buffer leaves, and intra MBs flush "
+        "the leaf buffer before their pass-through residuals pend (the "
+        "empty-leaves check above fires instead)",
+    ("pack_unified.<locals>.try_attach",
+     'if hit == li_last and bit <= bit_last:', "fall"):
+        "defensive guard: pend mask bits ascend in MB row-major order "
+        "and map monotonically to leaf-relative bits within one leaf, "
+        "so a same-leaf bit can never arrive out of order",
     ("pack_unified.<locals>.emit_intra",
      'and q > ibat["lastq"]):', "fall"):
         "within a contiguous intra run of one parent block, decode order "

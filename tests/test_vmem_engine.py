@@ -417,8 +417,18 @@ def test_mc_residual_fusion_active_and_exact():
             nr = bin(mask).count("1")
             fused_rows += nr
             if nr:
-                # fused MCs are 16x16 and reference valid rows
-                assert (int(w0) >> 16) & 0x1F == 16
-                assert (int(w0) >> 21) & 0x1F == 16
+                bw = (int(w0) >> 16) & 0x1F
+                bh = (int(w0) >> 21) & 0x1F
+                if (bw, bh) == (16, 16):
+                    pass            # unsplit-MB fusion: any of the 6 bits
+                else:
+                    # split-leaf attachment (round 5): only >=8x8 leaves
+                    # absorb quads, luma bits only, quads inside the leaf
+                    assert bw >= 8 and bh >= 8, (bw, bh)
+                    assert mask & 0x30 == 0, mask   # no chroma on leaves
+                    if bw == 8:
+                        assert mask & 0b0010 == 0 and mask & 0b1000 == 0
+                    if bh == 8:
+                        assert mask & 0b1100 == 0
                 assert 0 <= int(w3) < up["coefs"].shape[0]
     assert fused_rows > 50, (fused_rows, n_ops)
