@@ -232,6 +232,7 @@ def main() -> int:
     # statement: "not full speed" on a PC, README.md:8).  Fused engine in
     # HBM-ring mode; small workload so it stays cheap in this bench.
     fps_wii = None
+    fps_wii_compute = None
     wii_error = None
     try:
         WB, WF = 2, 8
@@ -259,6 +260,34 @@ def main() -> int:
             return wyuv
 
         fps_wii = round(best_window(wii_step, WB * WF, reps=5, windows=2), 2)
+
+        # device-resident Wii rate (transfers amortized), like
+        # device_compute_fps for DS — the number attached hardware sees
+        from mobiclipdecoder_tpu.ops.vmem_engine import (_decode_gop_fused,
+                                                         _pack_gop_chunks)
+        bdw2c = VmemBatchDecoder(640, 480, MobiclipVersion.MOFLEX_3DS,
+                                 batch=WB)
+        wplans = [bdw2c._scan_all(fp) for fp in wframes]
+        wops, wcoefs, wsizes = _pack_gop_chunks(wplans, WB)
+        wd_ops = jnp.asarray(wops)
+        wd_coefs = jnp.asarray(wcoefs)
+        wd_sizes = jnp.asarray(wsizes.reshape(WB, -1))
+        jax.block_until_ready((wd_ops, wd_coefs, wd_sizes))
+        wring2 = bdw2c.ring
+        wring2, wyuv2 = _decode_gop_fused(wring2, wd_ops, wd_coefs,
+                                          wd_sizes, WF, 480, bdw2c.stride,
+                                          bdw2c.interpret)
+        _sync(wyuv2)
+
+        def wii_compute_step():
+            nonlocal wring2
+            wring2, wyuv2 = _decode_gop_fused(
+                wring2, wd_ops, wd_coefs, wd_sizes, WF, 480, bdw2c.stride,
+                bdw2c.interpret)
+            return wyuv2
+
+        fps_wii_compute = round(best_window(wii_compute_step, WB * WF,
+                                            reps=5, windows=2), 2)
     except Exception as e:  # surfaced in the JSON, not swallowed
         wii_error = repr(e)
 
@@ -319,6 +348,7 @@ def main() -> int:
         "e2e_fps": round(e2e, 2),
         "e2e_sustained_fps": round(e2e_sustained, 2),
         "wii_640x480_fps": fps_wii,
+        "wii_device_compute_fps": fps_wii_compute,
         "e2e_400x240_cropped_fps": e2e_3ds,
         "wii_e2e_cropped_fps": e2e_wii,
         **({"wii_error": wii_error} if wii_error else {}),
