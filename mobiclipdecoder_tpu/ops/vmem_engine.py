@@ -1243,7 +1243,10 @@ def _build_executor(B: int, H: int, S: int, nops: int, nr: int,
 # a Wii 8-frame stream ~219 — the 112/256 steps stop padding those 35-57%
 # (each wasted chunk still costs a grid step + SMEM feed).  Each step is a
 # one-time kernel compile per geometry (persistently cached).
-NCT_BUCKETS = (16, 64, 88, 112, 160, 256, 512, 1024)
+# 76/136 added in r5: post-batching DS GOPs sit at 73-74 chunks (88 was
+# wasting 14 grid steps x 8 streams ~ 1.3 ms/GOP) and Wii at 130 (160
+# wasted 30 x 2)
+NCT_BUCKETS = (16, 64, 76, 88, 112, 136, 160, 256, 512, 1024)
 # Stage the per-stream 6-slot ring into VMEM when it fits the budget
 # (everything else in the kernel needs ~4-6 MiB); Wii-size rings exceed it
 # and fall back to direct-HBM MC windows.
